@@ -1,0 +1,15 @@
+"""Test configuration: virtual 8-device CPU mesh, float64 available.
+
+Tests run on CPU (the driver separately dry-runs the multi-chip path); the
+8 virtual devices let sharding tests exercise real Mesh/psum code paths.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on CPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,456 @@
+"""Profile neighbor-joining engine: criterion, out-distances, the join loop.
+
+TPU-native re-design of the reference's NeighbourJoining core (ref
+src/NeighbourJoining.tcc).  The sequential heuristics (join selection order,
+visible-set hill climbing, out-profile reset policy) run on the host exactly as
+in FastTree-2; every distance evaluation is a batched device scan:
+
+* setBestHit's one-vs-all scan (ref tcc:3571-3646)        -> one [M,P*C] matvec
+* out-distance refreshes (ref setOutDistance tcc:1012-1083) -> batched scan of
+  the stale set against the out-profile, instead of per-node loops
+* the join's profile average + self-distance (ref tcc:3008-3043) -> one fused
+  device call.
+
+Determinism: all candidate reductions (argmin over criterion) break ties by
+lowest index, matching the reference's fixed-order merges (ref tcc:3627-3637).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .. import constants
+from ..utils.debug import Debug
+from .profiles import MEProfiles
+from .state import TreeState
+
+
+@dataclass
+class Besthit:
+    i: int = -1
+    j: int = -1
+    weight: float = 0.0
+    dist: float = 1e20
+    criterion: float = 1e20
+
+
+class NeighbourJoining:
+    def __init__(self, options, leaf_codes: np.ndarray, dmat, transmat,
+                 constraint_on_off=None, log=None, progress=None, names=None):
+        self.options = options
+        self.log = log
+        self.progress = progress
+        n_seqs, n_pos = leaf_codes.shape
+        self.n_seqs = n_seqs
+        self.n_pos = n_pos
+        self.maxnodes = 2 * n_seqs
+        self.dmat = dmat
+        self.transmat = transmat
+        self.debug = options.debug if hasattr(options, "debug") else Debug()
+
+        self.tree = TreeState(n_seqs, self.maxnodes)
+        self.prof = MEProfiles(leaf_codes, options, dmat, self.maxnodes)
+        self.ml = None  # attached when switching to ML phase (engine/ml.py)
+
+        # constraints: nOn/nOff counts per node per constraint (ref Profile.nOn)
+        if constraint_on_off is not None:
+            self.n_cons = constraint_on_off[0].shape[1]
+            self.con_on = np.zeros((self.maxnodes, self.n_cons), dtype=np.int64)
+            self.con_off = np.zeros((self.maxnodes, self.n_cons), dtype=np.int64)
+            self.con_on[:n_seqs] = constraint_on_off[0]
+            self.con_off[:n_seqs] = constraint_on_off[1]
+        else:
+            self.n_cons = 0
+            self.con_on = self.con_off = None
+
+        self.diameter = np.zeros(self.maxnodes)
+        self.var_diameter = np.zeros(self.maxnodes)
+        self.selfdist = np.zeros(self.maxnodes)
+        self.selfweight = np.zeros(self.maxnodes)
+        self.selfweight[:n_seqs] = n_pos - self.prof.n_gaps
+        self.totdiam = 0.0
+
+        self.out_distances = np.zeros(self.maxnodes)
+        self.n_out_dist_active = np.full(self.maxnodes, n_seqs * 10, dtype=np.int64)
+
+        self.prof.recompute_outprofile(self._leaf_mask())
+        if self.n_cons:
+            self.con_out_on = self.con_on[:n_seqs].sum(axis=0)
+            self.con_out_off = self.con_off[:n_seqs].sum(axis=0)
+        self.set_out_distance(np.arange(n_seqs), n_seqs)
+
+    # ------------------------------------------------------------------ utils
+    def _leaf_mask(self):
+        m = np.zeros(self.maxnodes, dtype=bool)
+        m[: self.n_seqs] = True
+        return m
+
+    def active_mask(self):
+        m = self.tree.parent < 0
+        m[self.tree.maxnode :] = False
+        return m
+
+    def log_corrected(self, dist):
+        """ref logCorrect tcc:322-330 (host scalar/array version)."""
+        maxscore = 3.0
+        dist = np.asarray(dist, dtype=np.float64)
+        if self.options.n_codes == 4 and not self.options.use_matrix:
+            out = np.where(dist < 0.74,
+                           -0.75 * np.log1p(-np.minimum(dist, 0.7399) * 4.0 / 3.0),
+                           maxscore)
+        else:
+            out = np.where(dist < 0.99,
+                           -1.3 * np.log1p(-np.minimum(dist, 0.9899)), maxscore)
+        return np.minimum(out, maxscore)
+
+    # -------------------------------------------------------- constraint math
+    def join_constraint_penalty(self, i, j) -> int:
+        """ref joinConstraintPenalty tcc:559-605"""
+        if not self.n_cons:
+            return 0
+        on1, off1 = self.con_on[i], self.con_off[i]
+        on2, off2 = self.con_on[j], self.con_off[j]
+        on_out = self.con_out_on - on1 - on2
+        off_out = self.con_out_off - off1 - off2
+        pen = 0
+        for c in range(self.n_cons):
+            pen += _join_penalty_piece(on1[c], off1[c], on2[c], off2[c],
+                                       on_out[c], off_out[c])
+        return pen
+
+    def join_penalties_batch(self, iis, jjs):
+        if not self.n_cons:
+            return np.zeros(len(iis))
+        return np.array([self.join_constraint_penalty(i, j)
+                         for i, j in zip(iis, jjs)], dtype=np.float64)
+
+    # ------------------------------------------------------- out-distances
+    def set_out_distance(self, idx: np.ndarray, n_active: int, force=False) -> None:
+        """Batched setOutDistance (ref tcc:1012-1083)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        if not force:
+            idx = idx[self.n_out_dist_active[idx] != n_active]
+        if len(idx) == 0:
+            return
+        dist, weight = self.prof.dist_set_vs_out(idx)
+        self.debug.outprofile_ops += len(idx)
+        top = (n_active - 1) * (dist * weight * n_active
+                                - self.selfweight[idx] * self.selfdist[idx])
+        bottom = weight * n_active - self.selfweight[idx]
+        pdist = np.divide(top, bottom, out=np.full_like(top, 3.0), where=bottom > 0.01)
+        od = np.where(bottom > 0.01,
+                      pdist - self.diameter[idx] * (n_active - 1)
+                      - (self.totdiam - self.diameter[idx]), 3.0)
+        self.out_distances[idx] = od
+        self.n_out_dist_active[idx] = n_active
+
+    def set_criterion_batch(self, n_active: int, iis, jjs, dists) -> np.ndarray:
+        """Batched setCriterion (ref tcc:1085-1113): refresh stale out-distances
+        within the staleOutLimit allowance, scale still-stale ones, and return
+        criterion = dist - (outI + outJ)/(nActive-2)."""
+        iis = np.asarray(iis, dtype=np.int64)
+        jjs = np.asarray(jjs, dtype=np.int64)
+        n_diff_allow = int(n_active * self.options.stale_out_limit) \
+            if self.options.tophits_mult > 0 else 0
+        nodes = np.concatenate([iis, jjs])
+        stale = nodes[self.n_out_dist_active[nodes] - n_active > n_diff_allow]
+        if len(stale):
+            self.set_out_distance(np.unique(stale), n_active, force=True)
+
+        def scaled_out(nodes):
+            od = self.out_distances[nodes]
+            na = self.n_out_dist_active[nodes]
+            return np.where(na != n_active, od * (n_active - 1) / (na - 1), od)
+
+        return np.asarray(dists) - (scaled_out(iis) + scaled_out(jjs)) / (n_active - 2)
+
+    def set_dist_criterion_batch(self, n_active: int, iis, jjs):
+        """Batched setDistCriterion (ref tcc:1115-1124): raw distance minus
+        diameters plus constraint penalty, then criterion."""
+        iis = np.asarray(iis, dtype=np.int64)
+        jjs = np.asarray(jjs, dtype=np.int64)
+        dist, weight = self.prof.dist_pairs(iis, jjs)
+        leafpair = (iis < self.n_seqs) & (jjs < self.n_seqs)
+        self.debug.seq_ops += int(leafpair.sum())
+        self.debug.profile_ops += int((~leafpair).sum())
+        weight = np.where(weight > 0, weight, 0.01)
+        dist = dist - (self.diameter[iis] + self.diameter[jjs])
+        if self.n_cons:
+            dist = dist + self.options.constraint_weight * self.join_penalties_batch(iis, jjs)
+        crit = self.set_criterion_batch(n_active, iis, jjs, dist)
+        return dist, weight, crit
+
+    def set_dist_criterion(self, n_active: int, hit: Besthit) -> None:
+        d, w, c = self.set_dist_criterion_batch(n_active, [hit.i], [hit.j])
+        hit.dist, hit.weight, hit.criterion = float(d[0]), float(w[0]), float(c[0])
+
+    # ------------------------------------------------------------- best hits
+    def set_best_hit(self, node: int, n_active: int, want_all: bool = False):
+        """One-vs-all scan (ref setBestHit tcc:3571-3646).  Returns
+        (bestjoin, allhits) with allhits = (j, dist, weight, criterion) arrays
+        over all maxnode slots (invalid entries have criterion 1e20)."""
+        maxnode = self.tree.maxnode
+        dist, weight = self.prof.dist_one_vs_all(node)
+        dist = dist[:maxnode]
+        weight = weight[:maxnode]
+        active = self.active_mask()[:maxnode]
+        leafpair = (node < self.n_seqs) & (np.arange(maxnode) < self.n_seqs)
+        self.debug.profile_ops += int(active.sum())
+        dist = dist - (self.diameter[node] + self.diameter[:maxnode])
+        if self.n_cons:
+            js = np.nonzero(active)[0]
+            pens = self.join_penalties_batch(np.full(len(js), node), js)
+            dist[js] += self.options.constraint_weight * pens
+        weight = np.where(weight > 0, weight, 0.01)
+
+        iis = np.full(maxnode, node)
+        crit = np.full(maxnode, 1e20)
+        js = np.nonzero(active)[0]
+        crit[js] = self.set_criterion_batch(n_active, iis[js], js, dist[js])
+        dist = np.where(active, dist, 1e20)
+        weight = np.where(active, weight, 0.0)
+
+        cand = crit.copy()
+        cand[node] = 1e20  # exclude self from the best join
+        bj = int(np.argmin(cand))
+        best = Besthit(node, bj, float(weight[bj]), float(dist[bj]), float(cand[bj]))
+        if want_all:
+            return best, (dist, weight, crit)
+        return best, None
+
+    # -------------------------------------------------------------- searches
+    def exhaustive_search(self, n_active: int) -> Besthit:
+        """ref exhaustiveNJSearch tcc:3648-3684 -- all-pairs scan."""
+        best = Besthit()
+        active = np.nonzero(self.active_mask()[: self.tree.maxnode])[0]
+        for i in active:
+            _, all_ = self.set_best_hit(int(i), n_active, want_all=True)
+            dist, weight, crit = all_
+            crit = crit.copy()
+            crit[: int(i) + 1] = 1e20  # only j > i, and not self
+            j = int(np.argmin(crit))
+            if crit[j] < best.criterion:
+                best = Besthit(int(i), j, float(weight[j]), float(dist[j]), float(crit[j]))
+        assert best.i >= 0
+        return best
+
+    def fast_search(self, n_active: int, visible) -> Besthit:
+        """ref fastNJSearch tcc:3686-3744 -- visible set + hill-climbing."""
+        best = Besthit()
+        for i in range(self.tree.maxnode):
+            v = visible[i]
+            if v is None:
+                continue
+            if self.tree.parent[i] < 0 and self.tree.parent[v.j] < 0:
+                crit = self.set_criterion_batch(n_active, [v.i], [v.j], [v.dist])[0]
+                v.criterion = float(crit)
+                if v.criterion < best.criterion:
+                    best = Besthit(v.i, v.j, v.weight, v.dist, v.criterion)
+        assert best.i >= 0
+        if not self.options.fastest:
+            while True:
+                changed = False
+                bi, _ = self.set_best_hit(best.i, n_active)
+                visible[best.i] = bi
+                if bi.j != best.j:
+                    changed = True
+                best = Besthit(bi.i, bi.j, bi.weight, bi.dist, bi.criterion)
+                bj, _ = self.set_best_hit(best.j, n_active)
+                visible[best.j] = bj
+                if bj.j != best.i:
+                    changed = True
+                    best = Besthit(bj.j, bj.i, bj.weight, bj.dist, bj.criterion)
+                if changed:
+                    self.debug.n_hill_better += 1
+                else:
+                    break
+            best = Besthit(min(best.i, best.j), max(best.i, best.j),
+                           best.weight, best.dist, best.criterion)
+        return best
+
+    # ------------------------------------------------------------- join loop
+    def fast_nj(self) -> None:
+        """The main join loop (ref fastNJ tcc:2796-3155)."""
+        opts = self.options
+        tree = self.tree
+        n_seqs = self.n_seqs
+        assert n_seqs >= 1
+        if n_seqs < 3:
+            root = tree.maxnode
+            tree.maxnode += 1
+            tree.root = root
+            tree.set_children(root, list(range(n_seqs)))
+            if n_seqs == 2:
+                d, _ = self.prof.dist_pairs([0], [1])
+                tree.branchlength[0] = d[0] / 2.0
+                tree.branchlength[1] = d[0] / 2.0
+            return
+
+        m = 0
+        tophits = None
+        visible = None
+        if opts.tophits_mult > 0:
+            m = int(0.5 + opts.tophits_mult * math.sqrt(n_seqs))
+            if m < 4 or 2 * m >= n_seqs:
+                m = 0
+        if m > 0:
+            from .tophits import TopHits
+            tophits = TopHits(opts, self.maxnodes, m)
+            tophits.set_all_leaf_tophits(self)
+            tophits.reset_top_visible(self, n_seqs)
+        elif not opts.slow:
+            visible = [None] * self.maxnodes
+            for i in range(n_seqs):
+                visible[i], _ = self.set_best_hit(i, n_seqs)
+
+        n_active_out_profile_reset = n_seqs
+        for n_active in range(n_seqs, 3, -1):
+            if self.progress is not None:
+                done = n_seqs - n_active
+                if done > 0 and done % 100 == 0:
+                    self.progress.print("Joined %6d of %6d", done, n_seqs - 3)
+            if opts.slow:
+                join = self.exhaustive_search(n_active)
+            elif m > 0:
+                join = tophits.search(self, n_active)
+            else:
+                join = self.fast_search(n_active, visible)
+
+            # ensure fresh out-distances + criterion for the chosen join
+            self.set_out_distance(np.array([join.i, join.j]), n_active)
+            self.set_dist_criterion(n_active, join)
+
+            newnode = tree.maxnode
+            tree.maxnode += 1
+            lo, hi = min(join.i, join.j), max(join.i, join.j)
+            tree.set_children(newnode, [lo, hi])
+
+            raw_ij = join.dist + self.diameter[join.i] + self.diameter[join.j]
+            dist_ij = join.dist
+            delta_dist = (self.out_distances[join.i] - self.out_distances[join.j]) \
+                / (n_active - 2)
+            tree.branchlength[join.i] = (dist_ij + delta_dist) / 2
+            tree.branchlength[join.j] = (dist_ij - delta_dist) / 2
+
+            bionj_weight = 0.5
+            var_ij = raw_ij - self.var_diameter[join.i] - self.var_diameter[join.j]
+            if opts.bionj and join.weight > 0.01 and var_ij > 0.001:
+                # BIONJ weighting, Gascuel 1997 eq. 9 via out-profile moments
+                # (ref tcc:2918-2992)
+                douts, wouts = self.prof.dist_set_vs_out(np.array([join.i, join.j]))
+                self.debug.outprofile_ops += 2
+                var_i_weight = n_active * wouts[0] - self.selfweight[join.i] - join.weight
+                var_j_weight = n_active * wouts[1] - self.selfweight[join.j] - join.weight
+                var_i_top = douts[0] * wouts[0] * n_active \
+                    - self.selfdist[join.i] * self.selfweight[join.i] - raw_ij * join.weight
+                var_j_top = douts[1] * wouts[1] * n_active \
+                    - self.selfdist[join.j] * self.selfweight[join.j] - raw_ij * join.weight
+                if var_j_weight > 0.01 and var_i_weight > 0.01:
+                    d_pv_out = (n_active - 2) * (var_j_top / var_j_weight
+                                                 - var_i_top / var_i_weight)
+                    d_var_diam = (n_active - 2) * (self.var_diameter[join.i]
+                                                   - self.var_diameter[join.j])
+                    bionj_weight = 0.5 + (d_pv_out + d_var_diam) \
+                        / (2 * (n_active - 2) * var_ij)
+                bionj_weight = min(max(bionj_weight, 0.0), 1.0)
+
+            self.diameter[newnode] = (
+                bionj_weight * (tree.branchlength[join.i] + self.diameter[join.i])
+                + (1 - bionj_weight) * (tree.branchlength[join.j] + self.diameter[join.j]))
+            self.var_diameter[newnode] = (
+                bionj_weight * self.var_diameter[join.i]
+                + (1 - bionj_weight) * self.var_diameter[join.j]
+                + bionj_weight * (1 - bionj_weight) * var_ij)
+
+            sd, sw = self.prof.join(join.i, join.j, newnode,
+                                    bionj_weight if opts.bionj else -1.0)
+            self.debug.profile_avg_ops += 1
+            if self.n_cons:
+                self.con_on[newnode] = self.con_on[join.i] + self.con_on[join.j]
+                self.con_off[newnode] = self.con_off[join.i] + self.con_off[join.j]
+
+            # out-profile: periodic full recompute vs incremental update
+            # (ref tcc:3012-3037)
+            changed = n_active_out_profile_reset - (n_active - 1)
+            if (changed >= opts.n_reset_out_profile
+                    and changed >= opts.f_reset_out_profile * n_active_out_profile_reset):
+                active = self.active_mask()
+                self.totdiam = float(self.diameter[active].sum())
+                self.prof.recompute_outprofile(active)
+                n_active_out_profile_reset = n_active - 1
+            else:
+                self.prof.update_outprofile(join.i, join.j, newnode, n_active)
+                self.totdiam += self.diameter[newnode] - self.diameter[join.i] \
+                    - self.diameter[join.j]
+            if self.n_cons:
+                self.con_out_on += self.con_on[newnode] - self.con_on[join.i] - self.con_on[join.j]
+                self.con_out_off += self.con_off[newnode] - self.con_off[join.i] - self.con_off[join.j]
+
+            self.selfdist[newnode] = sd
+            self.selfweight[newnode] = sw
+
+            if m > 0:
+                tophits.top_hit_join(self, newnode, n_active - 1)
+            elif not opts.slow:
+                # refresh all out-distances, then update the visible set
+                # against the new node (ref tcc:3049-3097)
+                active = np.nonzero(self.active_mask()[: tree.maxnode])[0]
+                self.set_out_distance(active, n_active - 1)
+                bnew, all_ = self.set_best_hit(newnode, n_active - 1, want_all=True)
+                visible[newnode] = bnew
+                dist, weight, crit = all_
+                for i in active:
+                    i = int(i)
+                    if i == newnode:
+                        continue
+                    v = visible[i]
+                    old_j = v.j
+                    if tree.parent[old_j] < 0:
+                        v.criterion = float(self.set_criterion_batch(
+                            n_active - 1, [v.i], [v.j], [v.dist])[0])
+                    if tree.parent[old_j] >= 0 or crit[i] < v.criterion:
+                        if tree.parent[old_j] < 0:
+                            self.debug.n_visible_update += 1
+                        visible[i] = Besthit(i, newnode, float(weight[i]),
+                                             float(dist[i]), float(crit[i]))
+
+        # root the 3 remaining nodes (ref tcc:3107-3135)
+        top = np.nonzero(self.active_mask())[0]
+        assert len(top) == 3
+        root = tree.maxnode
+        tree.maxnode += 1
+        tree.root = root
+        tree.set_children(root, [int(t) for t in top])
+        d01, _ = self.prof.dist_pairs([top[0]], [top[1]])
+        d02, _ = self.prof.dist_pairs([top[0]], [top[2]])
+        d12, _ = self.prof.dist_pairs([top[1]], [top[2]])
+        d01 = d01[0] - self.diameter[top[0]] - self.diameter[top[1]]
+        d02 = d02[0] - self.diameter[top[0]] - self.diameter[top[2]]
+        d12 = d12[0] - self.diameter[top[1]] - self.diameter[top[2]]
+        tree.branchlength[top[0]] = (d01 + d02 - d12) / 2
+        tree.branchlength[top[1]] = (d01 + d12 - d02) / 2
+        tree.branchlength[top[2]] = (d02 + d12 - d01) / 2
+
+    def total_len(self) -> float:
+        return float(np.abs(self.tree.branchlength[: self.tree.maxnode]).sum())
+
+
+def _join_penalty_piece(on1, off1, on2, off2, on_out, off_out) -> int:
+    """ref joinConstraintPenaltyPiece tcc:570-605"""
+    if (on1 + off1) > 0 and (on2 + off2) > 0 and (on_out + off_out) > 0:
+        code1 = -1 if (on1 > 0 and off1 > 0) else (1 if on1 > 0 else 0)
+        code2 = -1 if (on2 > 0 and off2 > 0) else (1 if on2 > 0 else 0)
+        code3 = -1 if (on_out > 0 and off_out > 0) else (1 if on_out > 0 else 0)
+        n_split = (code1 == -1) + (code2 == -1) + (code3 == -1)
+        n_on = (code1 == 1) + (code2 == 1) + (code3 == 1)
+        if n_split == 1 and n_on == 1:
+            return split_constraint_penalty(on1 + on2, off1 + off2, on_out, off_out)
+    return 0
+
+
+def split_constraint_penalty(on1, off1, on2, off2) -> int:
+    """Min #constrained leaves to move to satisfy the constraint (ref tcc:601-605)."""
+    return min(on1, off2) if on1 + off2 < on2 + off1 else min(on2, off1)
