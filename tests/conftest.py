@@ -4,6 +4,9 @@ Tests run on CPU (the driver separately dry-runs the multi-chip path); the
 8 virtual devices let sharding tests exercise real Mesh/psum code paths.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on CPU
 flags = os.environ.get("XLA_FLAGS", "")

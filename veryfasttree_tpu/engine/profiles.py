@@ -58,6 +58,20 @@ def _dist_rows(U, W, iis, jjs, eigenval, use_matrix):
                                 eigenval if use_matrix else None)
 
 
+@functools.partial(jax.jit, static_argnames=("use_matrix",))
+def _dist_pieces(U, W, iis, jjs, eigenval, use_matrix):
+    """Per-position weighted distance pieces for row pairs -> ([K,P], [K,P])."""
+    U1, W1 = U[iis], W[iis]
+    U2, W2 = U[jjs], W[jjs]
+    weights = W1 * W2
+    dots = jnp.einsum("kpc,kpc->kp", U1, U2)
+    if use_matrix:
+        pieces = jnp.einsum("kpc,kpc,c->kp", U1, U2, eigenval)
+    else:
+        pieces = weights - dots
+    return pieces, weights
+
+
 @functools.partial(jax.jit, static_argnames=("use_matrix", "tol"), donate_argnums=(0, 1, 2))
 def _join_update(codes, W, U, i, j, newnode, bw, code_freq, eigenval, eigentot,
                  use_matrix, tol):
@@ -128,14 +142,19 @@ class MEProfiles:
             self.eigenval = jnp.zeros(self.n_codes, dtype=dtype)
             self.eigentot = jnp.ones(self.n_codes, dtype=dtype)
 
-        codes = np.full((maxnodes, self.p_pad), NOCODE, dtype=np.int8)
+        # rows [0, maxnodes) are node profiles; rows [maxnodes, 2*maxnodes)
+        # are the "up-profile" slots (rest-of-tree profiles, ref getUpProfile
+        # tcc:3382-3434) so every batched op can address both uniformly.
+        self.maxnodes = maxnodes
+        n_rows = 2 * maxnodes
+        codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
         codes[:n_seqs, :n_pos] = leaf_codes
-        W = np.zeros((maxnodes, self.p_pad), dtype=dtype)
+        W = np.zeros((n_rows, self.p_pad), dtype=dtype)
         W[:n_seqs, :n_pos] = (leaf_codes != NOCODE).astype(dtype)
         cf = np.asarray(self.code_freq)
         safe = np.where(leaf_codes == NOCODE, 0, leaf_codes).astype(np.int32)
         V = cf[safe] * (leaf_codes != NOCODE)[..., None]
-        U = np.zeros((maxnodes, self.p_pad, self.n_codes), dtype=dtype)
+        U = np.zeros((n_rows, self.p_pad, self.n_codes), dtype=dtype)
         U[:n_seqs, :n_pos] = V
         self.codes = jnp.asarray(codes)
         self.W = jnp.asarray(W)
@@ -144,8 +163,16 @@ class MEProfiles:
         self.w_out = None
         self.f_out = None
 
+    def up_row(self, node: int) -> int:
+        """Row index of a node's up-profile slot."""
+        return self.maxnodes + node
+
     # -- out-profile ---------------------------------------------------------
     def recompute_outprofile(self, active_mask: np.ndarray) -> None:
+        if len(active_mask) < self.U.shape[0]:
+            full = np.zeros(self.U.shape[0], dtype=bool)
+            full[: len(active_mask)] = active_mask
+            active_mask = full
         mask = jnp.asarray(active_mask)
         self.w_out, self.f_out = _outprofile_full(
             self.U, self.W, mask, self.code_freq, self.eigentot,
@@ -178,6 +205,15 @@ class MEProfiles:
         d, w = _dist_rows(self.U, self.W, jnp.asarray(ipad), jnp.asarray(jpad),
                           self.eigenval, self.use_matrix)
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
+
+    def dist_pieces_pairs(self, iis: np.ndarray, jjs: np.ndarray):
+        """[K, n_pos] weighted distance pieces + weights for bootstrap resampling."""
+        ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
+        jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
+        p, w = _dist_pieces(self.U, self.W, jnp.asarray(ipad), jnp.asarray(jpad),
+                            self.eigenval, self.use_matrix)
+        return (np.asarray(p, dtype=np.float64)[:n, : self.n_pos],
+                np.asarray(w, dtype=np.float64)[:n, : self.n_pos])
 
     def dist_set_vs_out(self, idx: np.ndarray):
         """profileDist(node, outprofile) for a set of nodes -> (dist, weight)."""
