@@ -8,11 +8,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests run on CPU
+# NOTE: this image's sitecustomize imports jax and registers the axon TPU
+# backend before conftest runs, so env vars alone are too late; XLA_FLAGS
+# still works because the CPU client initializes lazily, and jax_platforms
+# must be flipped via jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

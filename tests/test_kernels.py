@@ -84,7 +84,7 @@ def test_average_profile_coded_positions_exact():
     v = cf[jnp.array([3, 5, 0, 7])][None] * (codes != 127)[..., None]
     v = v.at[0, 3].set(cf[7])
     u = w[..., None] * v
-    c, wo, uo = kernels.average_profile(
+    c, wo, uo, _ = kernels.average_profile(
         codes[0], w[0], u[0], codes[0], w[0], u[0], 0.5, cf,
         jnp.asarray(dm.eigentot), 1e-10)
     assert int(c[0]) == 3 and int(c[1]) == 5 and int(c[2]) == 127

@@ -1,0 +1,336 @@
+"""Device-resident profile store for the maximum-likelihood phase.
+
+After the ME phases, profiles switch to the transition-matrix representation
+(ref VeryFastTreeImpl.tcc:252-256: transMatToDistanceMat + recomputeProfiles):
+leaves become rotated one-hots codeFreq[code] (gap row for gaps) and internal
+nodes are re-averaged bottom-up in the rotated space; subsequent ML ops replace
+internal profiles with posterior distributions.
+
+Unlike the ME store (which folds weights into the vectors), the ML store keeps
+*raw* vectors V plus codes and weights, because the reference's gap-mixing
+rules differ by call site (see ops/kernels.ml_effective):
+  - matrix pairLogLk mixes every 0<w<1 position with the gap distribution,
+  - posteriorProfile mixes only code-derived positions,
+  - Jukes-Cantor mixes only code-derived positions everywhere.
+Positions with w == 0 always hold the gap vector (rotation of all-ones for
+matrix models; uniform 0.25 for JC), which makes P(gap)=1 fall out of the
+dense contraction with no masking beyond the both-gap skip.
+
+Row layout matches the ME store: [0, maxnodes) node profiles,
+[maxnodes, 2*maxnodes) up-profiles, plus a few scratch rows for quartet
+temporaries (AB, CD, ABC, ...).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NOCODE
+from ..ops import kernels
+from .profiles import _pad_pow2
+
+N_SCRATCH = 8
+# scratch row names used by the quartet optimizer
+S_AB, S_CD, S_BCD, S_ACD, S_ABD, S_ABC, S_TMP1, S_TMP2 = range(N_SCRATCH)
+
+
+def _pair_loglk_impl(codes, W, V, r1, r2, length, rates, ratecat, eigenval,
+                     code_freq, pos_mask, min_rel_len, jc):
+    c1, w1, v1 = codes[r1], W[r1], V[r1]
+    c2, w2, v2 = codes[r2], W[r2], V[r2]
+    f1 = kernels.ml_effective(c1, w1, v1, code_freq, False, jc)
+    f2 = kernels.ml_effective(c2, w2, v2, code_freq, False, jc)
+    if jc:
+        psame, pdiff = kernels.p_same_diff(length, rates)
+        return kernels.pair_loglk_jc(f1, f2, psame, pdiff, ratecat, pos_mask)
+    ee = kernels.exp_eigen_rates(length, rates, eigenval, min_rel_len)
+    return kernels.pair_loglk_matrix(f1, f2, w1, w2, ee, ratecat, pos_mask)
+
+
+_pair_loglk = functools.partial(jax.jit, static_argnames=("jc",))(_pair_loglk_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("jc",))
+def _pair_loglk_rows(codes, W, V, r1s, r2s, lengths, rates, ratecat, eigenval,
+                     code_freq, pos_mask, min_rel_len, jc):
+    f = jax.vmap(lambda r1, r2, ln: _pair_loglk_impl(
+        codes, W, V, r1, r2, ln, rates, ratecat, eigenval, code_freq,
+        pos_mask, min_rel_len, jc))
+    return f(r1s, r2s, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
+def _posterior_into(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
+                    eigenval, code_freq, statinv, eigeninv, min_rel_len,
+                    min_len, jc, tol):
+    len1 = jnp.maximum(len1, min_len)
+    len2 = jnp.maximum(len2, min_len)
+    c1, w1, v1 = codes[r1], W[r1], V[r1]
+    c2, w2, v2 = codes[r2], W[r2], V[r2]
+    f1 = kernels.ml_effective(c1, w1, v1, code_freq, True, jc)
+    f2 = kernels.ml_effective(c2, w2, v2, code_freq, True, jc)
+    if jc:
+        ps1, pd1 = kernels.p_same_diff(len1, rates)
+        ps2, pd2 = kernels.p_same_diff(len2, rates)
+        w_out, v_out = kernels.posterior_jc(f1, f2, w1, w2, ps1, pd1, ps2, pd2, ratecat)
+        gap = jnp.full((V.shape[-1],), 0.25, dtype=V.dtype)
+    else:
+        ee1 = kernels.exp_eigen_rates(len1, rates, eigenval, min_rel_len)
+        ee2 = kernels.exp_eigen_rates(len2, rates, eigenval, min_rel_len)
+        n = V.shape[-1]
+        w_out, v_out = kernels.posterior_matrix(
+            f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n], eigeninv,
+            statinv, tol)
+        gap = code_freq[NOCODE]
+    v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
+    codes = codes.at[target].set(jnp.full_like(codes[0], NOCODE))
+    W = W.at[target].set(w_out)
+    V = V.at[target].set(v_out)
+    return codes, W, V
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
+def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, rates, ratecat,
+                    eigenval, code_freq, statinv, eigeninv, min_rel_len,
+                    min_len, jc, tol):
+    def one(r1, r2, l1, l2):
+        l1 = jnp.maximum(l1, min_len)
+        l2 = jnp.maximum(l2, min_len)
+        c1, w1, v1 = codes[r1], W[r1], V[r1]
+        c2, w2, v2 = codes[r2], W[r2], V[r2]
+        f1 = kernels.ml_effective(c1, w1, v1, code_freq, True, jc)
+        f2 = kernels.ml_effective(c2, w2, v2, code_freq, True, jc)
+        if jc:
+            ps1, pd1 = kernels.p_same_diff(l1, rates)
+            ps2, pd2 = kernels.p_same_diff(l2, rates)
+            w_out, v_out = kernels.posterior_jc(f1, f2, w1, w2, ps1, pd1, ps2, pd2,
+                                                ratecat)
+            gap = jnp.full((V.shape[-1],), 0.25, dtype=V.dtype)
+        else:
+            ee1 = kernels.exp_eigen_rates(l1, rates, eigenval, min_rel_len)
+            ee2 = kernels.exp_eigen_rates(l2, rates, eigenval, min_rel_len)
+            n = V.shape[-1]
+            w_out, v_out = kernels.posterior_matrix(
+                f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n], eigeninv,
+                statinv, tol)
+            gap = code_freq[NOCODE]
+        v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
+        return w_out, v_out
+
+    w_outs, v_outs = jax.vmap(one)(r1s, r2s, len1s, len2s)
+    codes = codes.at[targets].set(NOCODE)
+    W = W.at[targets].set(w_outs)
+    V = V.at[targets].set(v_outs)
+    return codes, W, V
+
+
+class MLProfiles:
+    def __init__(self, nj, transmat):
+        """Build the ML store from leaf codes + current topology
+        (the reference's profile switch, VeryFastTreeImpl.tcc:252-256)."""
+        opts = nj.options
+        self.options = opts
+        self.nj = nj
+        self.jc = transmat is None
+        self.transmat = transmat
+        me = nj.prof
+        self.n_pos = me.n_pos
+        self.p_pad = me.p_pad
+        self.maxnodes = me.maxnodes
+        self.n_codes = opts.n_codes
+        dtype = me.dtype
+        self.dtype = dtype
+        self.tol = float(opts.f_post_total_tolerance)
+        self.min_len = dtype(opts.ml_min_branch_length)
+        self.min_rel_len = dtype(opts.ml_min_rel_branch_length)
+
+        C = self.n_codes
+        if self.jc:
+            cf = np.zeros((NOCODE + 1, C), dtype=dtype)
+            cf[:C] = np.eye(C)
+            cf[NOCODE] = 0.25
+            self.code_freq = jnp.asarray(cf)
+            self.eigenval = jnp.zeros(C, dtype=dtype)
+            self.statinv = jnp.ones(C, dtype=dtype)
+            self.eigeninv = jnp.eye(C, dtype=dtype)
+            self.eigentot = jnp.ones(C, dtype=dtype)
+            self.gap_vec = jnp.full((C,), 0.25, dtype=dtype)
+        else:
+            self.code_freq = jnp.asarray(transmat.code_freq, dtype=dtype)
+            self.eigenval = jnp.asarray(transmat.eigenval, dtype=dtype)
+            self.statinv = jnp.asarray(transmat.statinv, dtype=dtype)
+            self.eigeninv = jnp.asarray(transmat.eigeninv, dtype=dtype)
+            self.eigentot = jnp.asarray(transmat.eigeninv.sum(axis=1), dtype=dtype)
+            self.gap_vec = self.code_freq[NOCODE]
+
+        pos_mask = np.zeros(self.p_pad, dtype=bool)
+        pos_mask[: self.n_pos] = True
+        self.pos_mask = jnp.asarray(pos_mask)
+
+        # CAT rates (ref Rates, NeighbourJoining.h:163-174)
+        self.rates_np = np.ones(1, dtype=np.float64)
+        self.ratecat_np = np.zeros(self.p_pad, dtype=np.int32)
+        self._push_rates()
+
+        # leaf rows from codes; internal rows re-averaged bottom-up
+        n_rows = 2 * self.maxnodes + N_SCRATCH
+        codes_np = np.asarray(me.codes)
+        leaf_codes = codes_np[: nj.n_seqs]
+        codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
+        codes[: nj.n_seqs] = leaf_codes
+        W = np.zeros((n_rows, self.p_pad), dtype=dtype)
+        W[: nj.n_seqs] = (leaf_codes != NOCODE).astype(dtype)
+        cfn = np.asarray(self.code_freq)
+        safe = np.where(leaf_codes == NOCODE, NOCODE, leaf_codes).astype(np.int32)
+        V = np.tile(np.asarray(self.gap_vec)[None, None, :],
+                    (n_rows, self.p_pad, 1)).astype(dtype)
+        V[: nj.n_seqs] = cfn[safe]
+        self.codes = jnp.asarray(codes)
+        self.W = jnp.asarray(W)
+        self.V = jnp.asarray(V)
+        self.recompute_average_profiles()
+
+    def set_transmat(self, transmat) -> None:
+        """Swap in a new transition matrix (GTR refitting, ref setMLGtr
+        tcc:6424): rebuild the rotation constants and the leaf rows.  Also
+        upgrades a Jukes-Cantor store to matrix mode (the -gtr path starts as
+        JC until the first GTR fit, ref VeryFastTreeImpl.tcc:261)."""
+        self.jc = False
+        self.transmat = transmat
+        dtype = self.dtype
+        self.code_freq = jnp.asarray(transmat.code_freq, dtype=dtype)
+        self.eigenval = jnp.asarray(transmat.eigenval, dtype=dtype)
+        self.statinv = jnp.asarray(transmat.statinv, dtype=dtype)
+        self.eigeninv = jnp.asarray(transmat.eigeninv, dtype=dtype)
+        self.eigentot = jnp.asarray(transmat.eigeninv.sum(axis=1), dtype=dtype)
+        self.gap_vec = self.code_freq[NOCODE]
+        nj = self.nj
+        codes_np = np.asarray(nj.prof.codes)[: nj.n_seqs]
+        cfn = np.asarray(self.code_freq)
+        safe = np.where(codes_np == NOCODE, NOCODE, codes_np).astype(np.int32)
+        leafV = cfn[safe]
+        self.V = self.V.at[: nj.n_seqs].set(jnp.asarray(leafV, dtype=dtype))
+
+    def _push_rates(self):
+        self.rates = jnp.asarray(self.rates_np, dtype=self.dtype)
+        self.ratecat = jnp.asarray(self.ratecat_np)
+
+    def set_rates(self, rates: np.ndarray, ratecat: np.ndarray) -> None:
+        self.rates_np = np.asarray(rates, dtype=np.float64)
+        rc = np.zeros(self.p_pad, dtype=np.int32)
+        rc[: len(ratecat)] = ratecat
+        self.ratecat_np = rc
+        self._push_rates()
+
+    def up_row(self, node: int) -> int:
+        return self.maxnodes + node
+
+    def scratch_row(self, k: int) -> int:
+        return 2 * self.maxnodes + k
+
+    # -- core ops ------------------------------------------------------------
+    def pair_loglk(self, r1: int, r2: int, length: float, want_site_lk=False):
+        ll, lk = _pair_loglk(self.codes, self.W, self.V, r1, r2,
+                             self.dtype(length), self.rates, self.ratecat,
+                             self.eigenval, self.code_freq, self.pos_mask,
+                             self.min_rel_len, self.jc)
+        self.nj.debug.n_lk_compute += 1
+        if want_site_lk:
+            return float(ll), np.asarray(lk, dtype=np.float64)[: self.n_pos]
+        return float(ll)
+
+    def pair_loglk_rows(self, r1s, r2s, lengths):
+        r1p, n = _pad_pow2(np.asarray(r1s, dtype=np.int64))
+        r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
+        lp = np.zeros(len(r1p), dtype=self.dtype)
+        lp[:n] = lengths
+        ll, lk = _pair_loglk_rows(self.codes, self.W, self.V, jnp.asarray(r1p),
+                                  jnp.asarray(r2p), jnp.asarray(lp), self.rates,
+                                  self.ratecat, self.eigenval, self.code_freq,
+                                  self.pos_mask, self.min_rel_len, self.jc)
+        self.nj.debug.n_lk_compute += n
+        return (np.asarray(ll, dtype=np.float64)[:n],
+                np.asarray(lk, dtype=np.float64)[:n, : self.n_pos])
+
+    def posterior_into(self, target: int, r1: int, r2: int, len1: float,
+                       len2: float) -> None:
+        self.codes, self.W, self.V = _posterior_into(
+            self.codes, self.W, self.V, target, r1, r2, self.dtype(len1),
+            self.dtype(len2), self.rates, self.ratecat, self.eigenval,
+            self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
+            self.min_len, self.jc, self.tol)
+        self.nj.debug.n_posterior_compute += 1
+
+    def posterior_rows(self, targets, r1s, r2s, len1s, len2s) -> None:
+        tp, n = _pad_pow2(np.asarray(targets, dtype=np.int64),
+                          fill=self.scratch_row(S_TMP2))
+        r1p, _ = _pad_pow2(np.asarray(r1s, dtype=np.int64))
+        r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
+        l1p = np.full(len(tp), 0.1, dtype=self.dtype)
+        l2p = np.full(len(tp), 0.1, dtype=self.dtype)
+        l1p[:n] = len1s
+        l2p[:n] = len2s
+        self.codes, self.W, self.V = _posterior_rows(
+            self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
+            jnp.asarray(r2p), jnp.asarray(l1p), jnp.asarray(l2p), self.rates,
+            self.ratecat, self.eigenval, self.code_freq, self.statinv,
+            self.eigeninv, self.min_rel_len, self.min_len, self.jc, self.tol)
+        self.nj.debug.n_posterior_compute += n
+
+    def recompute_average_profiles(self) -> None:
+        """Balanced averaging of internal nodes in ML space, level-batched
+        (ref recomputeProfiles(tmatAsDist))."""
+        tree = self.nj.tree
+        for level in tree.level_lists():
+            nodes = [int(nd) for nd in level if tree.n_child[nd] == 2]
+            if not nodes:
+                continue
+            iis = np.array([int(tree.children[nd, 0]) for nd in nodes])
+            jjs = np.array([int(tree.children[nd, 1]) for nd in nodes])
+            self._avg_rows(np.array(nodes), iis, jjs)
+
+    def _avg_rows(self, targets, r1s, r2s) -> None:
+        tp, n = _pad_pow2(np.asarray(targets, dtype=np.int64),
+                          fill=self.scratch_row(S_TMP2))
+        r1p, _ = _pad_pow2(np.asarray(r1s, dtype=np.int64))
+        r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
+        self.codes, self.W, self.V = _ml_avg_rows(
+            self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
+            jnp.asarray(r2p), self.code_freq, self.eigentot, self.gap_vec,
+            self.jc, self.tol)
+
+    def recompute_ml_profiles(self) -> None:
+        """Posterior recompute of all internal profiles bottom-up, level-batched
+        (ref recomputeMLProfiles tcc:3516-3539)."""
+        tree = self.nj.tree
+        bl = tree.branchlength
+        for level in tree.level_lists():
+            nodes = [int(nd) for nd in level if tree.n_child[nd] == 2]
+            if not nodes:
+                continue
+            iis = np.array([int(tree.children[nd, 0]) for nd in nodes])
+            jjs = np.array([int(tree.children[nd, 1]) for nd in nodes])
+            self.posterior_rows(np.array(nodes), iis, jjs, bl[iis], bl[jjs])
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
+def _ml_avg_rows(codes, W, V, targets, r1s, r2s, code_freq, eigentot, gap_vec,
+                 jc, tol):
+    n = V.shape[-1]
+
+    def one(c1, w1, v1, c2, w2, v2):
+        c, w, _, f = kernels.average_profile(
+            c1, w1, w1[..., None] * v1, c2, w2, w2[..., None] * v2, 0.5,
+            code_freq[:n], None if jc else eigentot, tol)
+        f = jnp.where(w[..., None] > 0, f, gap_vec)
+        return c, w, f
+
+    cs, ws, fs = jax.vmap(one)(codes[r1s], W[r1s], V[r1s],
+                               codes[r2s], W[r2s], V[r2s])
+    codes = codes.at[targets].set(cs)
+    W = W.at[targets].set(ws)
+    V = V.at[targets].set(fs)
+    return codes, W, V

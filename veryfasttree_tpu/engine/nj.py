@@ -93,6 +93,11 @@ class NeighbourJoining:
         m[self.tree.maxnode :] = False
         return m
 
+    def gaps_per_pos(self) -> np.ndarray:
+        """#gap characters per alignment position across the unique leaves."""
+        leaf_codes = np.asarray(self.prof.codes)[: self.n_seqs, : self.n_pos]
+        return (leaf_codes == constants.NOCODE).sum(axis=0).astype(np.float64)
+
     def log_corrected(self, dist):
         """ref logCorrect tcc:322-330 (host scalar/array version)."""
         maxscore = 3.0

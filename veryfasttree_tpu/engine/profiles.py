@@ -75,7 +75,7 @@ def _dist_pieces(U, W, iis, jjs, eigenval, use_matrix):
 @functools.partial(jax.jit, static_argnames=("use_matrix", "tol"), donate_argnums=(0, 1, 2))
 def _join_update(codes, W, U, i, j, newnode, bw, code_freq, eigenval, eigentot,
                  use_matrix, tol):
-    c, w, u = kernels.average_profile(
+    c, w, u, _ = kernels.average_profile(
         codes[i], W[i], U[i], codes[j], W[j], U[j], bw, code_freq,
         eigentot if use_matrix else None, tol)
     codes = codes.at[newnode].set(c)
@@ -115,7 +115,8 @@ def _avg_rows(codes, W, U, iis, jjs, bws, code_freq, eigenval, eigentot,
     f = jax.vmap(lambda ci, wi, ui, cj, wj, uj, bw: kernels.average_profile(
         ci, wi, ui, cj, wj, uj, bw, code_freq,
         eigentot if use_matrix else None, tol))
-    return f(codes[iis], W[iis], U[iis], codes[jjs], W[jjs], U[jjs], bws)
+    c, w, u, _ = f(codes[iis], W[iis], U[iis], codes[jjs], W[jjs], U[jjs], bws)
+    return c, w, u
 
 
 class MEProfiles:

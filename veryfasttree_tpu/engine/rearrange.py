@@ -293,7 +293,9 @@ def do_nni(nj, i_round: int, n_rounds: int, use_ml: bool, stats: NNIStats):
                                 tree.branchlength[node_c], tree.branchlength[node_d],
                                 tree.branchlength[node]])
             b_fast = opts.ml_accuracy < 2 and stats.age[node] > 0
-            choice, criteria, new_len = nj.ml.ml_quartet_nni(rows4, nodes4, lengths, b_fast)
+            from . import ml as ml_mod
+            choice, criteria, new_len = ml_mod.ml_quartet_nni(nj, rows4, nodes4,
+                                                              lengths, b_fast)
         else:
             counts = _constraint_counts(nj, nodes4, None) if nj.n_cons else None
             choice, criteria = choose_nni(nj, rows4, counts)

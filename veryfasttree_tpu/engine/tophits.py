@@ -1,13 +1,475 @@
-"""Top-hits heuristic (placeholder -- implemented in a later milestone).
+"""Top-hits heuristic: O(N*sqrt(N)) neighbor-joining candidate maintenance.
 
-Will re-create the reference machinery (ref setAllLeafTopHits tcc:3746-4124,
-topHitNJSearch :4137-4298, topHitJoin :4306-4533, visible/topvisible
-maintenance :4635-4784) with the seed scans as batched device matmuls.
+Re-creation of the reference machinery (ref setAllLeafTopHits tcc:3746-4124,
+topHitNJSearch :4137-4298, getBestFromTopHits :4267-4298, topHitJoin
+:4306-4533, sortSaveBestHits :4535-4578, transfer/unique :4580-4833, visible
+set :4635-4784) in the deterministic serial order, with every distance
+evaluation batched on device:
+
+* a seed's one-vs-all scan is one [M, P*C] matvec (nj.set_best_hit),
+* a close neighbor inherits the seed's top-2m list and re-evaluates all 2m
+  candidate distances in a single gathered pair-distance call,
+* top-hit list merges at joins re-evaluate the combined ~2m candidates in one
+  batched call.
+
+Hit lists, ages, and the visible/top-visible sets are small host-side arrays,
+exactly as the reference keeps them.
 """
 from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .nj import Besthit
 
 
 class TopHits:
     def __init__(self, options, maxnodes: int, m: int):
-        raise NotImplementedError("top-hits lands in the next milestone; "
-                                  "run with -notop / -slow for now")
+        self.options = options
+        self.m = m
+        self.q = int(0.5 + options.tophits2_mult * math.sqrt(m))
+        if not options.use_tophits_2nd or self.q >= m:
+            self.q = 0
+        self.maxnodes = maxnodes
+        # per-node hit lists: (j indices, raw dists)
+        self.hits_j = [None] * maxnodes     # np.int64 arrays
+        self.hits_dist = [None] * maxnodes  # np.float64 arrays
+        self.hit_source = np.full(maxnodes, -1, dtype=np.int64)
+        self.age = np.zeros(maxnodes, dtype=np.int64)
+        self.visible_j = np.full(maxnodes, -1, dtype=np.int64)
+        self.visible_dist = np.full(maxnodes, 1e20)
+        n_top_visible = int(0.5 + options.topvisible_mult * m)
+        self.topvisible = np.full(n_top_visible, -1, dtype=np.int64)
+        self.topvisible_age = 0
+
+    # ---------------------------------------------------------------- helpers
+    def _sort_save(self, nj, i_node: int, jjs, dists, crits, n_out: int,
+                   presorted: bool = False) -> None:
+        """sortSaveBestHits (ref tcc:4535-4578): stable-sort by criterion,
+        dedupe js, drop self/invalid, keep n_out."""
+        jjs = np.asarray(jjs)
+        dists = np.asarray(dists)
+        if not presorted:
+            order = np.argsort(crits, kind="stable")
+            jjs = jjs[order]
+            dists = dists[order]
+        keep_j = []
+        keep_d = []
+        seen = set()
+        for j, d in zip(jjs, dists):
+            if len(keep_j) >= n_out:
+                break
+            j = int(j)
+            if j < 0 or j == i_node or j in seen:
+                continue
+            seen.add(j)
+            keep_j.append(j)
+            keep_d.append(d)
+        assert keep_j
+        self.hits_j[i_node] = np.array(keep_j, dtype=np.int64)
+        self.hits_dist[i_node] = np.array(keep_d)
+
+    def get_visible(self, nj, n_active: int, i_node: int):
+        """ref getVisible tcc:546-557: criterion-refreshed visible entry or None."""
+        if i_node < 0 or nj.tree.parent[i_node] >= 0:
+            return None
+        j = int(self.visible_j[i_node])
+        if j < 0 or nj.tree.parent[j] >= 0:
+            return None
+        dist = float(self.visible_dist[i_node])
+        crit = float(nj.set_criterion_batch(n_active, [i_node], [j], [dist])[0])
+        return Besthit(i_node, j, -1.0, dist, crit)
+
+    # ------------------------------------------------------------- init phase
+    def set_all_leaf_tophits(self, nj) -> None:
+        """ref setAllLeafTopHits tcc:3746-4124 (serial deterministic order)."""
+        opts = self.options
+        n_seqs = nj.n_seqs
+        m, q = self.m, self.q
+        close = opts.tophits_close
+        if close < 0:
+            if opts.fastest and n_seqs >= 50000:
+                close = 0.99
+            else:
+                log_n = math.log2(n_seqs)
+                close = log_n / (log_n + 2.0)
+
+        n_gaps = np.rint(nj.n_pos - nj.selfweight[:n_seqs]).astype(np.int64)
+        # seeds sorted by (fewer gaps, smaller out-distance), stable
+        seeds = np.lexsort((nj.out_distances[:n_seqs], n_gaps))
+        assert 2 * m <= n_seqs
+        visited = np.zeros(n_seqs, dtype=bool)
+
+        for seed in seeds:
+            seed = int(seed)
+            if visited[seed]:
+                continue
+            visited[seed] = True
+            _, all_ = nj.set_best_hit(seed, n_seqs, want_all=True)
+            dist, weight, crit = all_
+            order = np.argsort(crit, kind="stable")
+            sj = order
+            sdist = dist[order]
+            sweight = weight[order]
+            self._sort_save(nj, seed, sj, sdist, None, m, presorted=True)
+
+            # close-neighbor inheritance (ref :3933-4014)
+            neardist = sdist[2 * m - 1] * close
+            nearweight = sweight[: 2 * m].sum() / (2.0 * m)
+            nearweight *= 1.0 - 2.0 * neardist / 3.0
+            nearcover = 1.0 - neardist / 2.0
+
+            for i_close in range(m):
+                close_node = int(sj[i_close])
+                if close_node >= n_seqs or visited[close_node]:
+                    continue
+                ch_dist = sdist[i_close]
+                ch_weight = sweight[i_close]
+                is_close = ch_dist <= neardist and (
+                    ch_weight >= nearweight
+                    or ch_weight >= (nj.n_pos - n_gaps[close_node]) * nearcover)
+                identical = (ch_dist < 1e-6
+                             and abs(ch_weight - (nj.n_pos - n_gaps[seed])) < 1e-5
+                             and abs(ch_weight - (nj.n_pos - n_gaps[close_node])) < 1e-5)
+                if opts.use_tophits_2nd and i_close < q and (is_close or identical):
+                    nj.debug.n_close2_used += 1
+                    n_use = min(q * opts.tophits2_safety, 2 * m)
+                    self._transfer_and_save(nj, close_node, sj[:n_use], n_seqs, q)
+                    visited[close_node] = True
+                    self.hit_source[close_node] = seed
+                elif is_close or identical or (opts.fastest and i_close < (q + 1) // 2):
+                    nj.debug.n_close_used += 1
+                    sj2, sd2 = self._transfer_and_save(nj, close_node,
+                                                       sj[: 2 * m], n_seqs, m)
+                    visited[close_node] = True
+                    if opts.use_tophits_2nd:
+                        # 2nd level transfer (ref :3993-4012)
+                        for i2 in range(min(q, 2 * m)):
+                            cn2 = int(sj2[i2])
+                            if cn2 >= 0 and cn2 < n_seqs and not visited[cn2]:
+                                nj.debug.n_close2_used += 1
+                                n_use = min(q * opts.tophits2_safety, 2 * m)
+                                self._transfer_and_save(nj, cn2, sj2[:n_use],
+                                                        n_seqs, q)
+                                visited[cn2] = True
+                                self.hit_source[cn2] = close_node
+
+        for i in range(n_seqs):
+            assert self.hits_j[i] is not None
+            self.visible_j[i] = self.hits_j[i][0]
+            self.visible_dist[i] = self.hits_dist[i][0]
+
+        self._check_reverse_inclusion(nj, n_seqs)
+
+    def _transfer_and_save(self, nj, node: int, cand_js, n_active: int,
+                           n_out: int):
+        """transferBestHits + sortSaveBestHits for a close neighbor: evaluate
+        dist+criterion of node vs candidate set in one batched call."""
+        cand = np.asarray(cand_js, dtype=np.int64)
+        iis = np.full(len(cand), node, dtype=np.int64)
+        dist, weight, crit = nj.set_dist_criterion_batch(n_active, iis, cand)
+        order = np.argsort(crit, kind="stable")
+        self._sort_save(nj, node, cand[order], dist[order], None, n_out,
+                        presorted=True)
+        return cand[order], dist[order]
+
+    def _check_reverse_inclusion(self, nj, n_seqs: int) -> None:
+        """Checking phase: hits of i should appear in j's list (ref :4052-4123)."""
+        n_check = self.q if self.q > 0 else int(0.5 + 2.0 * math.sqrt(self.m))
+        l_replace = 0
+        for i_node in range(n_seqs):
+            js = self.hits_j[i_node]
+            for i_hit in range(min(n_check, len(js))):
+                j = int(js[i_hit])
+                crit = float(nj.set_criterion_batch(
+                    n_seqs, [i_node], [j], [self.hits_dist[i_node][i_hit]])[0])
+                tj = self.hits_j[j]
+                td = self.hits_dist[j]
+                crit_check = float(nj.set_criterion_batch(
+                    n_seqs, [j], [int(tj[n_check - 1])], [td[n_check - 1]])[0])
+                if crit_check < crit:
+                    continue
+                if i_node in tj:
+                    continue
+                # replace the worst hit of j if this one is better
+                crits = nj.set_criterion_batch(n_seqs, np.full(len(tj), j), tj, td)
+                i_worst = int(np.argmax(crits))
+                if crits[i_worst] > crit:
+                    tj[i_worst] = i_node
+                    td[i_worst] = self.hits_dist[i_node][i_hit]
+                    l_replace += 1
+                    v = self.get_visible(nj, n_seqs, j)
+                    if v is not None and crit < v.criterion:
+                        self.visible_j[j] = i_node
+                        self.visible_dist[j] = td[i_worst]
+
+    # ----------------------------------------------------------- search phase
+    def search(self, nj, n_active: int) -> Besthit:
+        """ref topHitNJSearch tcc:4137-4264."""
+        opts = self.options
+        tree = nj.tree
+        n_candidate = 0
+        best_node = -1
+        best_crit = 1e20
+        for i_node in self.topvisible:
+            v = self.get_visible(nj, n_active, int(i_node))
+            if v is not None:
+                n_candidate += 1
+                if best_node < 0 or v.criterion < best_crit:
+                    best_node = int(i_node)
+                    best_crit = v.criterion
+        self.topvisible_age += 1
+        if (2 * self.topvisible_age > self.m
+                or (3 * n_candidate < len(self.topvisible)
+                    and 3 * n_candidate < n_active)):
+            if self.topvisible_age <= 2:
+                # expand visible set by walking up (ref :4171-4201)
+                for i_node in range(tree.maxnode):
+                    if tree.parent[i_node] >= 0:
+                        continue
+                    vj = int(self.visible_j[i_node])
+                    newj = tree.active_ancestor(vj)
+                    if newj >= 0 and newj != vj:
+                        if newj == i_node:
+                            newj = 0
+                            while tree.parent[newj] >= 0 or newj == i_node:
+                                newj += 1
+                        d, w, c = nj.set_dist_criterion_batch(
+                            n_active, [i_node], [newj])
+                        self.visible_j[i_node] = newj
+                        self.visible_dist[i_node] = d[0]
+            self.reset_top_visible(nj, n_active)
+            return self.search(nj, n_active)
+
+        assert best_node >= 0 and tree.parent[best_node] < 0
+        join = self.get_visible(nj, n_active, best_node)
+        assert join is not None
+
+        if opts.fastest:
+            return join
+
+        while True:
+            changed = False
+            best = self.get_best_from_top_hits(nj, join.i, n_active)
+            if best.j != join.j and best.criterion < join.criterion:
+                changed = True
+                join = best
+            best = self.get_best_from_top_hits(nj, join.j, n_active)
+            if best.j != join.i and best.criterion < join.criterion:
+                changed = True
+                join = best
+            if changed:
+                nj.debug.n_hill_better += 1
+            else:
+                break
+        return join
+
+    def get_best_from_top_hits(self, nj, i_node: int, n_active: int) -> Besthit:
+        """ref getBestFromTopHits tcc:4267-4298 -- batched over the hit list."""
+        tree = nj.tree
+        assert i_node >= 0 and tree.parent[i_node] < 0
+        if not self.options.fastest:
+            nj.set_out_distance(np.array([i_node]), n_active)
+        js = self.hits_j[i_node]
+        dists = self.hits_dist[i_node]
+        anc = np.array([tree.active_ancestor(int(j)) for j in js])
+        valid = (anc >= 0) & (anc != i_node)
+        changed = valid & (anc != js)
+        # recompute changed pairs; unchanged keep stored dist
+        out_d = dists.copy()
+        idx = np.nonzero(changed)[0]
+        if len(idx):
+            d, w, _ = nj.set_dist_criterion_batch(
+                n_active, np.full(len(idx), i_node), anc[idx])
+            out_d[idx] = d
+        vidx = np.nonzero(valid)[0]
+        best = Besthit(i_node)
+        if len(vidx):
+            crit = nj.set_criterion_batch(n_active, np.full(len(vidx), i_node),
+                                          anc[vidx], out_d[vidx])
+            k = int(np.argmin(crit))
+            b = vidx[k]
+            best = Besthit(i_node, int(anc[b]), -1.0, float(out_d[b]),
+                           float(crit[k]))
+        assert best.j >= 0
+        return best
+
+    # ------------------------------------------------------------- join phase
+    def top_hit_join(self, nj, newnode: int, n_active: int) -> None:
+        """ref topHitJoin tcc:4306-4533."""
+        opts = self.options
+        tree = nj.tree
+        m, q = self.m, self.q
+        c0 = int(tree.children[newnode, 0])
+        c1 = int(tree.children[newnode, 1])
+        combined_j = np.concatenate([self.hits_j[c0], self.hits_j[c1]])
+        unique_j, unique_d, unique_c = self._unique_best_hits(
+            nj, newnode, combined_j, n_active)
+        n_unique = len(unique_j)
+        self.hits_j[c0] = self.hits_j[c1] = None
+        self.hits_dist[c0] = self.hits_dist[c1] = None
+
+        self.age[newnode] = (self.age[c0] + self.age[c1] + 1) // 2 + 1
+        age_limit = max(1, int(0.5 + math.log2(m)))
+        b_second = self.hit_source[c0] >= 0 and self.hit_source[c1] >= 0
+        b_use = n_unique == n_active - 1 or (
+            self.age[newnode] <= age_limit
+            and n_unique >= (int(0.5 + opts.tophits2_refresh * q) if b_second
+                             else int(0.5 + m * opts.tophits_refresh)))
+
+        if not b_use and b_second and self.age[newnode] <= age_limit:
+            # promote 2nd-level to 1st-level from the hit source (ref :4369-4418)
+            source = tree.active_ancestor(int(self.hit_source[c0]))
+            if source == newnode:
+                source = tree.active_ancestor(int(self.hit_source[c1]))
+            if (source != newnode and source >= 0
+                    and self.hit_source[source] < 0 and self.hits_j[source] is not None):
+                merged = np.concatenate([unique_j, [source], self.hits_j[source]])
+                unique_j, unique_d, unique_c = self._unique_best_hits(
+                    nj, newnode, merged, n_active)
+                n_unique = len(unique_j)
+                b_use = n_unique >= int(0.5 + m * opts.tophits_refresh)
+                b_second = False
+
+        if b_use:
+            if b_second:
+                self.hit_source[newnode] = self.hit_source[c0]
+            n_save = min(n_unique, q if b_second else m)
+            order = np.argsort(unique_c, kind="stable")
+            self._sort_save(nj, newnode, unique_j[order], unique_d[order], None,
+                            n_save, presorted=True)
+            self.visible_j[newnode] = self.hits_j[newnode][0]
+            self.visible_dist[newnode] = self.hits_dist[newnode][0]
+            self.update_top_visible(nj, n_active, newnode,
+                                    int(self.visible_j[newnode]),
+                                    float(self.visible_dist[newnode]))
+            keep = order[:n_save]
+            self.update_visible(nj, n_active, newnode, unique_j[keep],
+                                unique_d[keep], unique_c[keep])
+        else:
+            # refresh (ref :4438-4517)
+            nj.debug.n_refresh_tophits += 1
+            self.age[newnode] = 0
+            active = np.nonzero(nj.active_mask()[: tree.maxnode])[0]
+            if opts.fastest:
+                nj.set_criterion_batch(n_active, active, active,
+                                       np.zeros(len(active)))
+            else:
+                nj.set_out_distance(active, n_active)
+            _, all_ = nj.set_best_hit(newnode, n_active, want_all=True)
+            dist, weight, crit = all_
+            order = np.argsort(crit, kind="stable")
+            self._sort_save(nj, newnode, order, dist[order], None, m,
+                            presorted=True)
+            self.visible_j[newnode] = self.hits_j[newnode][0]
+            self.visible_dist[newnode] = self.hits_dist[newnode][0]
+
+            # expand the lists of the new node's top m hits (ref :4477-4515)
+            top_js = self.hits_j[newnode][:m]
+            for j_node in top_js:
+                j_node = int(j_node)
+                if tree.parent[j_node] >= 0 or self.hits_j[j_node] is None:
+                    continue
+                self.age[j_node] = 0
+                if n_active <= 2 * m:
+                    self.hit_source[j_node] = -1
+                n_new = q if self.hit_source[j_node] >= 0 else m
+                both = np.concatenate([self.hits_j[j_node],
+                                       [newnode],
+                                       self.hits_j[newnode][: 2 * n_new]])
+                uj, ud, uc = self._unique_best_hits(nj, j_node, both, n_active)
+                order2 = np.argsort(uc, kind="stable")
+                self._sort_save(nj, j_node, uj[order2], ud[order2], None, n_new,
+                                presorted=True)
+                self.visible_j[j_node] = self.hits_j[j_node][0]
+                self.visible_dist[j_node] = self.hits_dist[j_node][0]
+            self.reset_top_visible(nj, n_active)
+
+    def _unique_best_hits(self, nj, i_node: int, cand_js, n_active: int):
+        """uniqueBestHits (ref tcc:4786-4833): remap to active ancestors, dedupe,
+        recompute dist & criterion in one batched call."""
+        tree = nj.tree
+        anc = np.array([tree.active_ancestor(int(j)) for j in cand_js],
+                       dtype=np.int64)
+        anc = anc[(anc >= 0) & (anc != i_node)]
+        uniq = np.unique(anc)
+        if len(uniq) == 0:
+            return uniq, np.array([]), np.array([])
+        iis = np.full(len(uniq), i_node, dtype=np.int64)
+        dist, weight, crit = nj.set_dist_criterion_batch(n_active, iis, uniq)
+        return uniq, dist, crit
+
+    # ----------------------------------------------------- visible set upkeep
+    def update_visible(self, nj, n_active: int, i_node: int, jjs, dists, crits):
+        """ref updateVisible tcc:4635-4658."""
+        for j, d, c in zip(jjs, dists, crits):
+            j = int(j)
+            v = self.get_visible(nj, n_active, j)
+            if v is None or c < v.criterion:
+                if v is not None:
+                    nj.debug.n_visible_update += 1
+                self.visible_j[j] = i_node
+                self.visible_dist[j] = d
+                self.update_top_visible(nj, n_active, j, i_node, d)
+
+    def update_top_visible(self, nj, n_active: int, i_in: int, hit_j: int,
+                           hit_dist: float) -> None:
+        """ref updateTopVisible tcc:4661-4726."""
+        tree = nj.tree
+        b_in = False
+        for k, i_node in enumerate(self.topvisible):
+            i_node = int(i_node)
+            if i_node == i_in:
+                b_in = True
+                break
+            if i_node < 0 or tree.parent[i_node] >= 0:
+                self.topvisible[k] = i_in
+                b_in = True
+                break
+        i_pos_worst = -1
+        d_crit_worst = -1e20
+        if not b_in:
+            for k, i_node in enumerate(self.topvisible):
+                i_node = int(i_node)
+                v = self.get_visible(nj, n_active, i_node)
+                if v is None:
+                    self.topvisible[k] = i_in
+                    b_in = True
+                    break
+                if v.i == hit_j and v.j == i_in:
+                    b_in = True
+                    break
+                if v.criterion >= d_crit_worst:
+                    i_pos_worst = k
+                    d_crit_worst = v.criterion
+        if not b_in and i_pos_worst >= 0:
+            crit = float(nj.set_criterion_batch(n_active, [i_in], [hit_j],
+                                                [hit_dist])[0])
+            if crit < d_crit_worst:
+                self.topvisible[i_pos_worst] = i_in
+
+    def reset_top_visible(self, nj, n_active: int) -> None:
+        """ref resetTopVisible tcc:4728-4784."""
+        tree = nj.tree
+        entries = []
+        for i_node in range(tree.maxnode):
+            if tree.parent[i_node] >= 0:
+                continue
+            v = self.get_visible(nj, n_active, i_node)
+            if v is not None:
+                entries.append(v)
+        assert entries
+        entries.sort(key=lambda v: v.criterion)
+        in_top = {}
+        i_save = 0
+        for v in entries:
+            if i_save >= len(self.topvisible):
+                break
+            if in_top.get(v.i) != v.j:
+                self.topvisible[i_save] = v.i
+                i_save += 1
+                in_top[v.i] = v.j
+                in_top[v.j] = v.i
+        self.topvisible[i_save:] = -1
+        self.topvisible_age = 0

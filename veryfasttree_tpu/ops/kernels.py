@@ -142,7 +142,7 @@ def average_profile(c1, w1, u1, c2, w2, u2, bionj_weight, code_freq, eigentot, t
     safe_c = jnp.where(c_out == NOCODE, 0, c_out).astype(jnp.int32)
     f_out = jnp.where(coded[..., None], code_freq[safe_c], f_out)
     u_out = jnp.where(w_out[..., None] > 0, w_out[..., None] * f_out, 0.0)
-    return c_out, w_out, u_out
+    return c_out, w_out, u_out, f_out
 
 
 def out_profile(U, W, active_mask, code_freq, eigentot, tol):
