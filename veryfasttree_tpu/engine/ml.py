@@ -706,7 +706,7 @@ def test_splits_ml(nj, progress=None) -> SplitCount:
 # ---------------------------------------------------------------------------
 
 
-def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log):
+def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=None):
     opts = nj.options
     nj.ml = MLProfiles(nj, nj.transmat)
     reset_gtr = opts.n_codes == 4 and opts.use_gtr and not opts.use_gtr_rates
@@ -718,6 +718,8 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log):
         for i_round in range(1, max_round + 1):
             old = nj.tree.branchlength.copy()
             optimize_all_branch_lengths(nj)
+            if log_tree:
+                log_tree("ML_Lengths%d", i_round)
             d_max_change = float(np.abs(
                 old[: nj.tree.maxnode] - nj.tree.branchlength[: nj.tree.maxnode]).max())
             loglk = tree_loglk(nj)
@@ -743,6 +745,8 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log):
     converged = False
     for i in range(ml_nni_to_do):
         changes, max_delta = rearrange.do_nni(nj, i, ml_nni_to_do, True, stats)
+        if log_tree:
+            log_tree("ML_NNI%d", i + 1)
         loglk = tree_loglk(nj)
         converged_here = i > 0 and (
             loglk < last_loglk + constants.TREE_LOGLK_DELTA

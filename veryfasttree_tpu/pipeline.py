@@ -81,29 +81,98 @@ def read_constraints(options, unique, name_to_idx, log):
     return on, off
 
 
+def _try_native_read(options):
+    """Fast path: native FASTA parse + dedup straight to the unique code
+    matrix (native/vft_native.cpp), skipping Python string churn.  Returns
+    (names, unique_codes, Uniquify, tree_str) or None to fall back."""
+    from .io import native
+
+    path = options.in_file_name
+    if not path or not native.available():
+        return None
+    try:
+        with open(path, "rb") as f:
+            head = f.read(2)
+        if not head.startswith(b">"):
+            return None
+        parsed = native.parse_fasta_codes(path, options)
+        if parsed is None:
+            return None
+        names, codes = parsed
+        first_of = native.uniquify_codes(codes)
+    except (ValueError, OSError):
+        return None
+    n = len(names)
+    aln_next = [-1] * n
+    aln_to_uniq = [-1] * n
+    unique_first = []
+    last_of = {}
+    uniq_rows = []
+    for i in range(n):
+        fi = int(first_of[i])
+        if fi == i:
+            aln_to_uniq[i] = len(unique_first)
+            unique_first.append(i)
+            uniq_rows.append(i)
+        else:
+            aln_next[last_of[fi]] = i
+            aln_to_uniq[i] = aln_to_uniq[fi]
+        last_of[fi] = i
+    unique = Uniquify(unique_seq=[None] * len(unique_first),
+                      unique_first=unique_first, aln_next=aln_next,
+                      aln_to_uniq=aln_to_uniq)
+    return names, codes[np.array(uniq_rows)], unique
+
+
 def run_pipeline(options, input_fp, output_fp, log_fp=None):
     """The full inference pipeline.  Returns the NJ engine (for inspection)."""
     log = log_fp
     progress = ProgressReport(options.show_progress, options.verbose,
                               options.relative_progress)
     options.debug = Debug()
-    aln = read_alignment(input_fp, options, log)
-    if not aln.seqs:
-        raise ValueError("No alignment sequences")
-    progress.print("Read alignment")
 
-    names = aln.names
+    native_read = None
+    if not options.constraints_file:
+        native_read = _try_native_read(options)
+    aln = None
+    if native_read is not None:
+        names, codes, unique = native_read
+        progress.print("Read alignment (native parser)")
+        from .io.alignment import Alignment as _Aln
+        aln = _Aln(names=names, seqs=[], n_pos=codes.shape[1])
+    else:
+        aln = read_alignment(input_fp, options, log)
+        if not aln.seqs:
+            raise ValueError("No alignment sequences")
+        progress.print("Read alignment")
+        names = aln.names
+
     if len(set(names)) != len(names):
-        dup = [n for n in names if names.count(n) > 1][0]
+        seen = set()
+        dup = next(n for n in names if n in seen or seen.add(n))
         raise ValueError(f"Non-unique name '{dup}' in the alignment")
     name_to_idx = {n: i for i, n in enumerate(names)}
 
-    unique = Uniquify.build(aln)
-    progress.print("Identified unique sequences")
+    if options.make_matrix:
+        # print the pairwise (log-corrected) distance matrix and stop
+        # (ref printDistances NeighbourJoining.tcc:274-288)
+        dmat, _ = build_models(options)
+        all_codes = (codes if native_read is not None
+                     else seqs_to_codes(aln.seqs, options, log))
+        mm = NeighbourJoining(options, all_codes, dmat, None)
+        _print_distances(mm, names, output_fp)
+        return mm, None
+
+    if native_read is None:
+        unique = Uniquify.build(aln)
+        progress.print("Identified unique sequences")
     cons = read_constraints(options, unique, name_to_idx, log)
 
     dmat, tmat = build_models(options)
-    codes = seqs_to_codes(unique.unique_seq, options, log)
+    if native_read is None:
+        codes = seqs_to_codes(unique.unique_seq, options, log)
+    else:
+        codes = native_read[1]
     nj = NeighbourJoining(options, codes, dmat, tmat, cons, log=log,
                           progress=progress, names=names)
     n_uniq = len(unique.unique_seq)
@@ -117,6 +186,17 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
     else:
         nj.fast_nj()
     progress.print("Initial topology complete")
+
+    def log_tree(fmt, i):
+        """Persist intermediate trees so long jobs can be restarted from
+        -intree (ref logTree tcc:5516-5522, main.cpp:125-128)."""
+        if options.log_file_name and log is not None:
+            log.write((fmt % i if "%" in fmt else fmt) + "\t")
+            log.write(print_newick(nj.tree, names, unique, False,
+                                   options.double_precision, options.quote))
+            log.write("\n")
+
+    log_tree("NJ", 0)
 
     nni_to_do = options.nni if options.nni != -1 else \
         int(0.5 + 4.0 * math.log2(max(n_uniq, 2)))
@@ -133,21 +213,25 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
                 n_change, _ = rearrange.do_nni(nj, i, nni_to_do, False, stats)
                 progress.print("ME NNI round %d of %d, %d changes", i + 1,
                                nni_to_do, n_change)
+                log_tree("ME_NNI%d", i + 1)
                 if n_change == 0:
                     converged = True
             if (spr_remaining > 0 and nni_to_do // (options.spr + 1) > 0
                     and (i + 1) % (nni_to_do // (options.spr + 1)) == 0):
                 from .engine import spr as spr_mod
                 spr_mod.run_spr(nj, options.spr - spr_remaining, options.spr)
+                log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
                 spr_remaining -= 1
                 converged = False
                 stats = rearrange.NNIStats.init(nj)
     while spr_remaining > 0 and n_uniq > 3:
         from .engine import spr as spr_mod
         spr_mod.run_spr(nj, options.spr - spr_remaining, options.spr)
+        log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
         spr_remaining -= 1
 
     rearrange.update_branch_lengths(nj)
+    log_tree("ME_Lengths", 0)
     total_len = nj.total_len()
     if options.verbose > 0 and log is not None:
         print(f"Total branch-length {total_len:.3f} after {progress.clock_diff():.2f} sec",
@@ -156,7 +240,7 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
     split_count = None
     if ml_nni_to_do > 0 or options.ml_len:
         from .engine import ml as ml_mod
-        split_count = ml_mod.run_ml_phase(nj, ml_nni_to_do, n_uniq, progress, log)
+        split_count = ml_mod.run_ml_phase(nj, ml_nni_to_do, n_uniq, progress, log, log_tree)
     else:
         from .engine import supports
         split_count = supports.test_splits_min_evo(nj)
@@ -168,7 +252,61 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
                           options.double_precision, options.quote)
     output_fp.write(newick + "\n")
     progress.done()
+    _report_stats(options, nj, split_count, len(names), n_uniq, ml_nni_to_do,
+                  progress, log)
     return nj, split_count
+
+
+def _report_stats(options, nj, sc, n_seq, n_uniq, ml_nni_to_do, progress, log):
+    """Final stats block (ref VeryFastTreeImpl.tcc:403-465): runtime, split
+    quality, and the debug-counter fingerprint of heuristic behavior."""
+    if log is None:
+        return
+    d = nj.debug
+    line = (f"Total time: {progress.clock_diff():.2f} seconds "
+            f"Unique: {n_uniq}/{n_seq} "
+            f"Bad splits: {sc.n_bad_splits if sc else 0}/{sc.n_splits if sc else 0}")
+    if sc and sc.d_worst_delta_unconstrained > 0:
+        kind = "LogLk" if (ml_nni_to_do > 0 or options.ml_len) else "Len"
+        line += f" Worst delta-{kind} {sc.d_worst_delta_unconstrained:.3f}"
+    print(line, file=log)
+    if options.verbose > 1 or options.log_file_name:
+        dn2 = max(n_uniq * float(n_uniq), 1.0)
+        print(f"Dist/N**2: by-profile {d.profile_ops / dn2:.3f} "
+              f"(out {d.outprofile_ops / dn2:.3f}) by-leaf {d.seq_ops / dn2:.3f} "
+              f"avg-prof {d.profile_avg_ops / dn2:.3f}", file=log)
+        if d.n_close_used or d.n_close2_used or d.n_refresh_tophits:
+            print(f"Top hits: close neighbors {d.n_close_used}/{n_uniq} "
+                  f"2nd-level {d.n_close2_used} refreshes {d.n_refresh_tophits}",
+                  file=log)
+        if not options.slow:
+            print(f" Hill-climb: {d.n_hill_better} Update-best: {d.n_visible_update}",
+                  file=log)
+        print(f"NNI: {d.n_nni} SPR: {d.n_spr} ML-NNI: {d.n_ml_nni}", file=log)
+        if ml_nni_to_do > 0:
+            extra = ""
+            if d.n_aa_posterior_exact or d.n_aa_posterior_rough:
+                frac = 100.0 * d.n_aa_posterior_rough / max(
+                    d.n_aa_posterior_exact + d.n_aa_posterior_rough, 1)
+                extra += f" approximate-posteriors {frac:.2f}%"
+            if options.ml_accuracy < 2:
+                extra += f" star-only {d.n_star_tests}"
+            print(f"Max-lk operations: lk {d.n_lk_compute} posterior "
+                  f"{d.n_posterior_compute}{extra}", file=log)
+
+
+def _print_distances(nj, names, out):
+    """All-pairs leaf distances (ref printDistances tcc:274-288)."""
+    n = nj.n_seqs
+    for i in range(n):
+        dist, _ = nj.prof.dist_one_vs_all(i)
+        d = dist[:n]
+        if nj.options.logdist:
+            d = nj.log_corrected(d)
+        out.write(names[i])
+        for j in range(n):
+            out.write(" %f" % max(d[j], 0.0))
+        out.write("\n")
 
 
 def _load_intree(nj, text, name_to_idx, unique):
