@@ -146,8 +146,11 @@ class MEProfiles:
         # rows [0, maxnodes) are node profiles; rows [maxnodes, 2*maxnodes)
         # are the "up-profile" slots (rest-of-tree profiles, ref getUpProfile
         # tcc:3382-3434) so every batched op can address both uniformly.
+        # Rows are padded to the Pallas scan tile so the fused TPU kernel
+        # applies without repacking.
         self.maxnodes = maxnodes
-        n_rows = 2 * maxnodes
+        from ..ops.pallas_kernels import TILE_M
+        n_rows = ((2 * maxnodes + TILE_M - 1) // TILE_M) * TILE_M
         codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
         codes[:n_seqs, :n_pos] = leaf_codes
         W = np.zeros((n_rows, self.p_pad), dtype=dtype)
@@ -190,8 +193,17 @@ class MEProfiles:
 
     # -- distance scans ------------------------------------------------------
     def dist_one_vs_all(self, i: int):
-        d, w = _dist_many(self.U, self.W, self.U[i], self.W[i],
-                          self.eigenval, self.use_matrix)
+        from ..ops import pallas_kernels as pk
+        if pk._have_pallas_tpu() and self.U.shape[0] % pk.TILE_M == 0 \
+                and self.p_pad % 128 == 0:
+            # fused Pallas scan: one pass over HBM for dist+denom
+            _, _, d, w, _ = pk.nj_scan(
+                self.U, self.W, self.U[i], self.W[i],
+                jnp.zeros(self.U.shape[0], dtype=self.dtype), 3,
+                np.asarray(self.eigenval) if self.use_matrix else None)
+        else:
+            d, w = _dist_many(self.U, self.W, self.U[i], self.W[i],
+                              self.eigenval, self.use_matrix)
         return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):

@@ -1,0 +1,234 @@
+"""Pallas TPU kernels for the hot inner loops.
+
+The dominant compute of the NJ phase is the one-vs-many profile-distance scan
+(ref setBestHit NeighbourJoining.tcc:3571-3646).  The Pallas kernel fuses the
+whole candidate evaluation into one pass over HBM:
+
+    dots[m]  = U[m, :] . uq          (MXU matvec over the flattened P*C axis)
+    denom[m] = W[m, :] . wq
+    dist[m]  = piece(dots, denom)    (matrix or %different mode)
+    crit[m]  = dist[m] - outd[m] / (nActive - 2)
+
+plus a running (min, argmin) carried across grid steps in SMEM scratch -- so
+candidate search reads U exactly once and never materializes intermediates in
+HBM.  The criterion subtraction and argmin ride along for free on the VPU
+while the MXU streams the matvec.
+
+On non-TPU backends the wrapper falls back to the equivalent jnp expression
+(same math, XLA-fused).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE_M = 256
+
+
+def _have_pallas_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _scan_kernel(U_ref, W_ref, uq_ref, wq_ref, outd_ref, scal_ref,
+                 dist_ref, denom_ref, crit_ref, best_ref,
+                 min_scratch, arg_scratch, *, use_matrix):
+    """One grid step: evaluate TILE_M candidates and fold into the running min.
+
+    scal_ref holds [n_active, M_real] in SMEM (masking the padded tail).
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        min_scratch[0] = jnp.float32(1e30)
+        arg_scratch[0] = jnp.int32(0)
+
+    n_active = scal_ref[0]
+    m_real = scal_ref[1]
+
+    dots = jnp.dot(U_ref[:], uq_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    denom = jnp.dot(W_ref[:], wq_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    if use_matrix:
+        top = dots
+    else:
+        top = denom - dots
+    dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
+    crit = dist - outd_ref[:] / (n_active.astype(jnp.float32) - 2.0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_M, 1), 0) + i * TILE_M
+    valid = rows < m_real
+    crit_m = jnp.where(valid, crit, 1e30)
+
+    dist_ref[:] = dist
+    denom_ref[:] = denom
+    crit_ref[:] = crit_m
+
+    tile_min = jnp.min(crit_m)
+    tile_arg = jnp.argmin(crit_m).astype(jnp.int32) + i * TILE_M
+
+    better = tile_min < min_scratch[0]
+    min_scratch[0] = jnp.where(better, tile_min, min_scratch[0])
+    arg_scratch[0] = jnp.where(better, tile_arg, arg_scratch[0])
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        best_ref[0] = arg_scratch[0]
+        best_ref[1] = min_scratch[0].astype(jnp.float32).view(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("use_matrix",))
+def _scan_pallas(U2, W, uq2, wq, outd, scal, use_matrix):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = U2.shape
+    P = W.shape[1]
+    grid = (M // TILE_M,)
+    kernel = functools.partial(_scan_kernel, use_matrix=use_matrix)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE_M, K), lambda i: (i, 0)),
+                pl.BlockSpec((TILE_M, P), lambda i: (i, 0)),
+                pl.BlockSpec((K, 1), lambda i: (0, 0)),
+                pl.BlockSpec((P, 1), lambda i: (0, 0)),
+                pl.BlockSpec((TILE_M, 1), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TILE_M, 1), lambda i: (i, 0)),
+                pl.BlockSpec((TILE_M, 1), lambda i: (i, 0)),
+                pl.BlockSpec((TILE_M, 1), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+    )(U2, W, uq2, wq, outd.reshape(-1, 1), scal)
+
+
+def nj_scan(U, W, uq, wq, outd, n_active, eigenval=None):
+    """Fused one-vs-all scan + criterion + argmin.
+
+    U: [M, P, C] weighted profiles; W: [M, P]; uq/wq: query; outd: [M] scaled
+    out-distances; eigenval: [C] or None (matrix vs %different mode).
+    Returns (best_idx, best_crit, dist[M], denom[M], crit[M]).
+    """
+    M, P, C = U.shape
+    use_matrix = eigenval is not None
+    a = (uq * eigenval[None, :]) if use_matrix else uq
+    if _have_pallas_tpu() and M % TILE_M == 0 and (P * C) % 128 == 0 and P % 128 == 0:
+        U2 = U.reshape(M, P * C)
+        scal = jnp.asarray([n_active, M], dtype=jnp.int32)
+        dist, denom, crit, best = _scan_pallas(
+            U2.astype(jnp.float32), W.astype(jnp.float32),
+            a.reshape(-1, 1).astype(jnp.float32),
+            wq.reshape(-1, 1).astype(jnp.float32),
+            outd.astype(jnp.float32), scal, use_matrix)
+        best_idx = best[0]
+        best_crit = best[1].view(jnp.float32)
+        return best_idx, best_crit, dist[:, 0], denom[:, 0], crit[:, 0]
+    # jnp fallback (identical math)
+    dots = U.reshape(M, -1) @ a.reshape(-1)
+    denom = W @ wq
+    top = dots if use_matrix else denom - dots
+    dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
+    crit = dist - outd / (jnp.float32(n_active) - 2.0)
+    best_idx = jnp.argmin(crit)
+    return best_idx, crit[best_idx], dist, denom, crit
+
+
+# ---------------------------------------------------------------------------
+# Per-site pair log-likelihood kernel (ref pairLogLk NeighbourJoining.tcc:
+# 1192-1447): lk[p] = sum_c f1[p,c] f2[p,c] ee[p,c]; loglk = sum_p log lk[p].
+# One fused VPU pass per batch row; the log-sum never leaves VMEM.
+# ---------------------------------------------------------------------------
+
+TILE_P = 512
+
+
+def _loglk_kernel(f1_ref, f2_ref, ee_ref, out_ref, acc_scratch):
+    """Mask handling: the wrapper zeroes masked positions in f1 and appends a
+    bias channel carrying (1 - mask), so lk == 1 exactly there."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scratch[0] = jnp.float32(0.0)
+
+    # layout: channels on sublanes, positions on lanes -> [C, TILE_P]
+    x = f1_ref[0] * f2_ref[0] * ee_ref[0]
+    lk = jnp.sum(x, axis=0, keepdims=True)       # [1, TILE_P]
+    acc_scratch[0] += jnp.sum(jnp.log(jnp.maximum(lk, 1e-37)))
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[b, 0] = acc_scratch[0]
+
+
+@jax.jit
+def _pair_loglk_pallas(F1, F2, EE):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, P = F1.shape
+    grid = (B, P // TILE_P)
+    return pl.pallas_call(
+        _loglk_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
+                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
+                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+    )(F1, F2, EE)[:, 0]
+
+
+def pair_loglk_batch(F1, F2, EE, mask):
+    """Batched pair log-likelihoods.  F1/F2/EE: [B, P, C] effective vectors and
+    exp-eigen factors; mask: [B, P] (1 = contribute).  Returns loglk [B]."""
+    B, P, C = F1.shape
+    if _have_pallas_tpu() and P % TILE_P == 0:
+        m = mask.astype(jnp.float32)[..., None]
+        inv = 1.0 - m
+        f1p = jnp.concatenate([F1.astype(jnp.float32) * m, inv], axis=-1)
+        f2p = jnp.concatenate([F2.astype(jnp.float32), jnp.ones_like(inv)], axis=-1)
+        eep = jnp.concatenate([EE.astype(jnp.float32), jnp.ones_like(inv)], axis=-1)
+        # channels on sublanes, positions on lanes
+        return _pair_loglk_pallas(f1p.transpose(0, 2, 1), f2p.transpose(0, 2, 1),
+                                  eep.transpose(0, 2, 1))
+    lk = jnp.einsum("bpc,bpc,bpc->bp", F1, F2, EE)
+    lk = jnp.where(mask > 0, lk, 1.0)
+    return jnp.sum(jnp.log(jnp.maximum(lk, 1e-37)), axis=-1)
