@@ -134,15 +134,12 @@ def onedimenmin(xmin, xguess, xmax, f, ftol, atol):
 
 
 def ml_pair_optimize(nj, r1, r2, length):
-    """ref MLPairOptimize tcc:1790-1803.  Returns (loglk, new_length)."""
-    opts = nj.options
+    """ref MLPairOptimize tcc:1790-1803.  Returns (loglk, new_length).
 
-    def neg(x):
-        return -nj.ml.pair_loglk(r1, r2, x)
-
-    x, fx, _ = onedimenmin(opts.ml_min_branch_length, length, 6.0, neg,
-                           opts.ml_ftol_branch_length,
-                           opts.ml_min_branch_length_tolerance)
+    Uses the device-fused Brent (one dispatch per branch) -- same algorithm
+    and constants as the host path, with the likelihood inner loop compiled.
+    """
+    x, fx = nj.ml.opt_branch_length(r1, r2, length)
     return -fx, x
 
 
@@ -165,12 +162,8 @@ def ml_quartet_optimize(nj, rA, rB, rC, rD, lengths, star_test=False,
     ml.posterior_into(s_cd, rC, rD, lengths[LEN_C], lengths[LEN_D])
 
     def opt(r1, r2, guess):
-        def neg(x):
-            return -ml.pair_loglk(r1, r2, x)
-        x, fx, _ = onedimenmin(opts.ml_min_branch_length, guess, 6.0, neg,
-                               opts.ml_ftol_branch_length,
-                               opts.ml_min_branch_length_tolerance)
-        return x, fx
+        # device-fused onedimenmin/Brent: one dispatch per branch
+        return ml.opt_branch_length(r1, r2, guess)
 
     lengths[LEN_I], negloglk = opt(s_ab, s_cd, lengths[LEN_I])
 

@@ -255,6 +255,20 @@ class MLProfiles:
         return (np.asarray(ll, dtype=np.float64)[:n],
                 np.asarray(lk, dtype=np.float64)[:n, : self.n_pos])
 
+    def opt_branch_length(self, r1: int, r2: int, guess: float):
+        """Device-fused onedimenmin/Brent for one branch (see _opt_branch_len).
+        Returns (optimal_length, neg_loglk_at_optimum)."""
+        opts = self.options
+        x, fx = _opt_branch_len(
+            self.codes, self.W, self.V, r1, r2, self.dtype(guess),
+            self.dtype(opts.ml_min_branch_length), self.dtype(6.0),
+            self.dtype(opts.ml_ftol_branch_length),
+            self.dtype(opts.ml_min_branch_length_tolerance),
+            self.rates, self.ratecat, self.eigenval, self.code_freq,
+            self.pos_mask, self.min_rel_len, self.jc)
+        self.nj.debug.n_lk_compute += 8  # approximate eval count for telemetry
+        return float(x), float(fx)
+
     def posterior_into(self, target: int, r1: int, r2: int, len1: float,
                        len2: float) -> None:
         self.codes, self.W, self.V = _posterior_into(
@@ -334,3 +348,141 @@ def _ml_avg_rows(codes, W, V, targets, r1s, r2s, code_freq, eigentot, gap_vec,
     W = W.at[targets].set(ws)
     V = V.at[targets].set(fs)
     return codes, W, V
+
+
+# ---------------------------------------------------------------------------
+# Device-fused branch-length optimization: the full onedimenmin/Brent line
+# search (ref tcc:7024-7178) runs in one compiled while_loop per call, with
+# the profile gathers and effective-vector mixing hoisted out of the loop --
+# each likelihood evaluation inside Brent is just exp + contract + log-sum.
+# The control flow mirrors engine/ml.py's host brent() exactly (same constants,
+# same update rules), so the optimization path is the same algorithm.
+# ---------------------------------------------------------------------------
+
+_CGOLD = 0.3819660
+_ZEPS = 1.0e-10
+_BRENT_ITMAX = 100
+
+
+def _loglk_of_len(f1, f2, w1, w2, length, rates, ratecat, eigenval, pos_mask,
+                  min_rel_len, jc):
+    if jc:
+        psame, pdiff = kernels.p_same_diff(length, rates)
+        ll, _ = kernels.pair_loglk_jc(f1, f2, psame, pdiff, ratecat, pos_mask)
+    else:
+        ee = kernels.exp_eigen_rates(length, rates, eigenval, min_rel_len)
+        ll, _ = kernels.pair_loglk_matrix(f1, f2, w1, w2, ee, ratecat, pos_mask)
+    return ll
+
+
+@functools.partial(jax.jit, static_argnames=("jc",))
+def _opt_branch_len(codes, W, V, r1, r2, guess, xmin, xmax, ftol, atol,
+                    rates, ratecat, eigenval, code_freq, pos_mask,
+                    min_rel_len, jc):
+    c1, w1, v1 = codes[r1], W[r1], V[r1]
+    c2, w2, v2 = codes[r2], W[r2], V[r2]
+    f1 = kernels.ml_effective(c1, w1, v1, code_freq, False, jc)
+    f2 = kernels.ml_effective(c2, w2, v2, code_freq, False, jc)
+
+    def neg(x):
+        return -_loglk_of_len(f1, f2, w1, w2, x, rates, ratecat, eigenval,
+                              pos_mask, min_rel_len, jc)
+
+    # --- bracketing (ref onedimenmin tcc:7027-7074)
+    ax, bx, cx = jax.lax.cond(
+        guess == xmin,
+        lambda: (xmin, 2.0 * guess, 10.0 * guess),
+        lambda: jax.lax.cond(
+            guess <= 2.0 * xmin,
+            lambda: (xmin, guess, 5.0 * guess),
+            lambda: (0.5 * guess, guess, 2.0 * guess)))
+    cx = jnp.minimum(cx, xmax)
+    bx = jnp.where(bx >= cx, 0.5 * (ax + cx), bx)
+    fa = neg(ax)
+    fb = neg(bx)
+    fc = neg(cx)
+
+    def shrink_lo(state):
+        ax, fa = state
+        ax = (ax + xmin) / 2.0
+        ax = jnp.where(ax < 2.0 * xmin, xmin, ax)
+        return ax, neg(ax)
+
+    ax, fa = jax.lax.while_loop(lambda s: (s[1] < fb) & (s[0] > xmin),
+                                lambda s: shrink_lo(s), (ax, fa))
+
+    def grow_hi(state):
+        cx, fc = state
+        cx = (cx + xmax) / 2.0
+        cx = jnp.where(cx > xmax * 0.95, xmax, cx)
+        return cx, neg(cx)
+
+    cx, fc = jax.lax.while_loop(lambda s: (s[1] < fb) & (s[0] < xmax),
+                                lambda s: grow_hi(s), (cx, fc))
+
+    # --- Brent (ref tcc:7098-7178)
+    a = jnp.minimum(ax, cx)
+    b = jnp.maximum(ax, cx)
+    x, fx = bx, fb
+    w_, fw, v_, fv = jax.lax.cond(fa < fc,
+                                  lambda: (ax, fa, cx, fc),
+                                  lambda: (cx, fc, ax, fa))
+
+    def brent_cond(st):
+        a, b, x, w_, v_, fx, fw, fv, d, e, it, done = st
+        return (~done) & (it < _BRENT_ITMAX)
+
+    def brent_body(st):
+        a, b, x, w_, v_, fx, fw, fv, d, e, it, done = st
+        xm = 0.5 * (a + b)
+        tol1 = ftol * jnp.abs(x)
+        tol2 = 2.0 * (tol1 + _ZEPS)
+        finish = (jnp.abs(x - xm) <= (tol2 - 0.5 * (b - a))) | (jnp.abs(a - b) < atol)
+
+        # parabolic step or golden section
+        r = (x - w_) * (fx - fv)
+        q = (x - v_) * (fx - fw)
+        p = (x - v_) * q - (x - w_) * r
+        q2 = 2.0 * (q - r)
+        p = jnp.where(q2 > 0.0, -p, p)
+        q2 = jnp.abs(q2)
+        etemp = e
+        use_golden = (jnp.abs(p) >= jnp.abs(0.5 * q2 * etemp)) \
+            | (p <= q2 * (a - x)) | (p >= q2 * (b - x))
+        e_gold = jnp.where(x >= xm, a - x, b - x)
+        d_gold = _CGOLD * e_gold
+        d_par = p / jnp.where(q2 == 0.0, 1.0, q2)
+        u_par = x + d_par
+        d_par = jnp.where((u_par - a < tol2) | (b - u_par < tol2),
+                          jnp.where(xm - x >= 0, tol1, -tol1), d_par)
+        small_e = jnp.abs(e) <= tol1
+        d_new = jnp.where(small_e | use_golden, d_gold, d_par)
+        e_new = jnp.where(small_e | use_golden, e_gold, d)
+
+        u = jnp.where(jnp.abs(d_new) >= tol1, x + d_new,
+                      x + jnp.where(d_new >= 0, tol1, -tol1))
+        fu = neg(u)
+
+        le = fu <= fx
+        a2 = jnp.where(le, jnp.where(u >= x, x, a), jnp.where(u < x, u, a))
+        b2 = jnp.where(le, jnp.where(u >= x, b, x), jnp.where(u < x, b, u))
+        v2_ = jnp.where(le, w_, jnp.where((fu <= fw) | (w_ == x), w_,
+                        jnp.where((fu <= fv) | (v_ == x) | (v_ == w_), u, v_)))
+        fv2 = jnp.where(le, fw, jnp.where((fu <= fw) | (w_ == x), fw,
+                        jnp.where((fu <= fv) | (v_ == x) | (v_ == w_), fu, fv)))
+        w2_ = jnp.where(le, x, jnp.where((fu <= fw) | (w_ == x), u, w_))
+        fw2 = jnp.where(le, fx, jnp.where((fu <= fw) | (w_ == x), fu, fw))
+        x2 = jnp.where(le, u, x)
+        fx2 = jnp.where(le, fu, fx)
+
+        return jax.lax.cond(
+            finish,
+            lambda: (a, b, x, w_, v_, fx, fw, fv, d, e, it + 1, True),
+            lambda: (a2, b2, x2, w2_, v2_, fx2, fw2, fv2, d_new, e_new,
+                     it + 1, False))
+
+    z = jnp.float32(0.0) if x.dtype == jnp.float32 else jnp.zeros((), x.dtype)
+    st = (a, b, x, w_, v_, fx, fw, fv, z, z, jnp.int32(0), jnp.bool_(False))
+    a, b, x, w_, v_, fx, fw, fv, d, e, it, done = jax.lax.while_loop(
+        brent_cond, brent_body, st)
+    return x, fx
