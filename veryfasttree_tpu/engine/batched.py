@@ -1,0 +1,265 @@
+"""Level-batched tree rearrangements: the TPU-native form of the reference's
+relaxed thread-parallel modes.
+
+The reference parallelizes NNI rounds by giving threads disjoint subtrees
+(treePartitioning, thread level 2, ref tcc:6108-6165) and branch-length
+optimization / tree traversals by level (levels 1/3, ref README.md:150-158),
+explicitly accepting that traversal-order changes perturb results slightly.
+On TPU the natural unit is a whole tree level: every internal node's quartet
+is evaluated in ONE batched device call (vmapped over nodes), swaps are applied
+host-side with conflict skipping, and profiles are re-averaged bottom-up one
+level per call.  Semantics match the reference's parallel modes, not its
+serial order -- enable via threads > 1 (like the reference) or on TPU.
+
+Used when `options.threads > 1`; the serial path (engine/rearrange.py)
+reproduces the reference's single-thread order bit-for-bit.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import constants
+from . import rearrange
+from .rearrange import ABvsCD, ACvsBD, ADvsBC, NNIStats, QAB, QAC, QAD, QBC, QBD, QCD
+
+
+def compute_up_profiles_levelwise(nj, use_ml: bool) -> np.ndarray:
+    """Compute ALL up-profiles top-down, one batched call per level.
+
+    up[node] = profile of "everything above node" = combine(C, D) where C is
+    node's sibling and D is up[parent] (or the other root sibling).  Returns
+    the array of up-row indices (maxnodes + node).
+    """
+    tree = nj.tree
+    levels = tree.level_lists()
+    for level in reversed(levels):  # top-down
+        nodes = [int(n) for n in level
+                 if n != tree.root and n >= nj.n_seqs and tree.n_child[n] == 2]
+        if not nodes:
+            continue
+        r1s, r2s, l1s, l2s, targets = [], [], [], [], []
+        for node in nodes:
+            par = int(tree.parent[node])
+            if par == tree.root:
+                sibs = tree.root_siblings(node)
+                c_row, d_row = sibs[0], sibs[1]
+                len_c, len_d = tree.branchlength[sibs[0]], tree.branchlength[sibs[1]]
+            else:
+                c_row = tree.sibling(node)
+                d_row = nj.ml.up_row(par) if use_ml else nj.prof.up_row(par)
+                len_c = tree.branchlength[c_row]
+                len_d = tree.branchlength[par]
+            targets.append(nj.ml.up_row(node) if use_ml else nj.prof.up_row(node))
+            r1s.append(c_row)
+            r2s.append(d_row)
+            l1s.append(len_c)
+            l2s.append(len_d)
+        if use_ml:
+            # ML up-profile: posterior of (C, D) (ref getUpProfile tcc:3404-3419)
+            nj.ml.posterior_rows(targets, r1s, r2s, l1s, l2s)
+        else:
+            c, w, u = nj.prof.average_rows_batch(r1s, r2s, [0.5] * len(nodes))
+            nj.prof.scatter_rows(targets, c, w, u)
+
+
+def _gather_quartets(nj, nodes, use_ml: bool):
+    """rows4 + nodes4 for a batch of internal nodes (up-profiles precomputed)."""
+    tree = nj.tree
+    rows = np.zeros((len(nodes), 4), dtype=np.int64)
+    nodes4 = np.zeros((len(nodes), 4), dtype=np.int64)
+    for k, node in enumerate(nodes):
+        a, b = int(tree.children[node, 0]), int(tree.children[node, 1])
+        par = int(tree.parent[node])
+        if par == tree.root:
+            sibs = tree.root_siblings(node)
+            c, d = sibs
+            d_row = d
+        else:
+            c = tree.sibling(node)
+            d = par
+            d_row = nj.ml.up_row(par) if use_ml else nj.prof.up_row(par)
+        rows[k] = [a, b, c, d_row]
+        nodes4[k] = [a, b, c, d]
+    return rows, nodes4
+
+
+def do_nni_batched(nj, i_round: int, n_rounds: int, use_ml: bool,
+                   stats: NNIStats):
+    """One NNI round with level-batched quartet evaluation."""
+    tree = nj.tree
+    opts = nj.options
+    if nj.n_seqs <= 3:
+        return 0, 0.0
+    support_threshold = constants.TREE_LOGLK_DELTA if use_ml else opts.me_min_delta
+
+    compute_up_profiles_levelwise(nj, use_ml)
+
+    # candidate nodes: all internal non-root, minus the fastNNI skip set
+    candidates = []
+    for node in range(nj.n_seqs, tree.maxnode):
+        if node == tree.root or tree.parent[node] < 0 or tree.n_child[node] != 2:
+            continue
+        if opts.fast_nni and (stats.age[node] >= 2 and stats.subtree_age[node] >= 2
+                              and stats.support[node] > support_threshold):
+            _, nodes4 = rearrange.setup_abcd(nj, None, node, use_ml, rows=False)
+            if all(not (stats.age[nd] == 0 and stats.support[nd] > support_threshold)
+                   for nd in nodes4):
+                continue
+        candidates.append(node)
+    if not candidates:
+        return 0, 0.0
+
+    rows, nodes4 = _gather_quartets(nj, candidates, use_ml)
+    if use_ml:
+        lengths = np.stack([
+            tree.branchlength[nodes4[:, 0]], tree.branchlength[nodes4[:, 1]],
+            tree.branchlength[nodes4[:, 2]], tree.branchlength[nodes4[:, 3]],
+            tree.branchlength[np.array(candidates)]], axis=1)
+        choice, criteria, new_len = nj.ml.quartet_nni_rows(rows, lengths)
+    else:
+        # 6 corrected pair distances per node, one batched device call
+        K = len(candidates)
+        pair_idx = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        iis = np.concatenate([rows[:, i] for i, _ in pair_idx])
+        jjs = np.concatenate([rows[:, j] for _, j in pair_idx])
+        dist, weight = nj.prof.dist_pairs(iis, jjs)
+        nj.debug.profile_ops += len(iis)
+        dist = dist.reshape(6, K)
+        weight = np.where(weight > 0, weight, 0.01).reshape(6, K)
+        if opts.pseudo_weight > 0:
+            bottom = weight.sum(axis=0)
+            prior = np.where(bottom > 0.01, (dist * weight).sum(axis=0) / bottom, 3.0)
+            pw = opts.pseudo_weight
+            dist = (dist * weight + prior[None, :] * pw) / (weight + pw)
+        if opts.logdist:
+            dist = nj.log_corrected(dist)
+        pen = np.zeros((3, K))
+        if nj.n_cons:
+            for k in range(K):
+                counts = [(nj.con_on[nd], nj.con_off[nd]) for nd in nodes4[k]]
+                pen[:, k] = rearrange.quartet_constraint_penalties(nj, counts)
+        criteria = np.stack([dist[QAB] + dist[QCD] + pen[0],
+                             dist[QAC] + dist[QBD] + pen[1],
+                             dist[QAD] + dist[QBC] + pen[2]], axis=1)
+        choice = np.full(K, ABvsCD)
+        better_ac = (criteria[:, ACvsBD] < criteria[:, ABvsCD]) \
+            & (criteria[:, ACvsBD] <= criteria[:, ADvsBC])
+        better_ad = (criteria[:, ADvsBC] < criteria[:, ABvsCD]) \
+            & (criteria[:, ADvsBC] <= criteria[:, ACvsBD]) & ~better_ac
+        choice = np.where(better_ac, ACvsBD, np.where(better_ad, ADvsBC, ABvsCD))
+        criteria = -criteria  # higher is better, as in ML
+        new_len = None
+
+    # apply swaps host-side, postorder order, skipping conflicts
+    n_nni = 0
+    d_max_delta = 0.0
+    touched = np.zeros(tree.maxnodes, dtype=bool)
+    LEN_A, LEN_B, LEN_C, LEN_D, LEN_I = range(5)
+    for k, node in enumerate(candidates):
+        ch = int(choice[k])
+        a, b, c, d = (int(x) for x in nodes4[k])
+        neighborhood = [node, a, b, c, d, int(tree.parent[node])]
+        crit = criteria[k]
+        delta = crit[ch] - crit[ABvsCD]
+        if ch != ABvsCD and not any(touched[n] for n in neighborhood):
+            if ch == ACvsBD:
+                tree.replace_child(node, b, c)
+                tree.replace_child(int(tree.parent[node]), c, b)
+            else:
+                tree.replace_child(node, a, c)
+                tree.replace_child(int(tree.parent[node]), c, a)
+            if use_ml and new_len is not None:
+                nl = new_len[k].copy()
+                if ch == ADvsBC:
+                    nl = np.array([nl[LEN_C], nl[LEN_D], nl[LEN_A], nl[LEN_B],
+                                   nl[LEN_I]])
+                    nl[LEN_A], nl[LEN_C] = nl[LEN_C], nl[LEN_A]
+                elif ch == ACvsBD:
+                    nl[LEN_B], nl[LEN_C] = nl[LEN_C], nl[LEN_B]
+                tree.branchlength[node] = nl[LEN_I]
+                tree.branchlength[a] = nl[LEN_A]
+                tree.branchlength[b] = nl[LEN_B]
+                tree.branchlength[c] = nl[LEN_C]
+                tree.branchlength[d] = nl[LEN_D]
+            for n in neighborhood:
+                touched[n] = True
+            for nd in [node, a, b, c, d]:
+                stats.age[nd] = 0
+            n_nni += 1
+            if use_ml:
+                nj.debug.n_ml_nni += 1
+            else:
+                nj.debug.n_nni += 1
+        else:
+            stats.age[node] += 1
+        stats.delta[node] = delta
+        d_max_delta = max(d_max_delta, delta)
+        stats.support[node] = min(crit[ch] - crit[kk] for kk in range(3) if kk != ch)
+        if stats.delta[node] > support_threshold:
+            stats.subtree_age[node] = 0
+        else:
+            stats.subtree_age[node] += 1
+            for kk in range(2):
+                child = int(tree.children[node, kk])
+                stats.subtree_age[node] = min(stats.subtree_age[node],
+                                              stats.subtree_age[child])
+
+    # repair all internal profiles bottom-up, one batched call per level
+    if use_ml:
+        nj.ml.recompute_ml_profiles()
+    else:
+        rearrange.recompute_profiles_levelwise(nj)
+    return n_nni, d_max_delta
+
+
+def optimize_all_branch_lengths_batched(nj) -> None:
+    """Level-batched ML branch-length optimization (thread-level-3 analog,
+    ref optimizeAllBranchLengths tcc:5006-5111): for every internal node of a
+    level, run the 2x3 Brent sweeps with each branch's line search vmapped
+    across the level in one device call."""
+    tree = nj.tree
+    ml = nj.ml
+    if nj.n_seqs < 2:
+        return
+    if nj.n_seqs == 2:
+        from .ml import ml_pair_optimize
+        a, b = int(tree.children[tree.root, 0]), int(tree.children[tree.root, 1])
+        _, ln = ml_pair_optimize(nj, a, b, 1.0)
+        tree.branchlength[a] = ln / 2.0
+        tree.branchlength[b] = ln / 2.0
+        return
+    compute_up_profiles_levelwise(nj, use_ml=True)
+    for level in tree.level_lists():
+        nodes = [int(n) for n in level if tree.n_child[n] >= 2]
+        if not nodes:
+            continue
+        nodes3 = []
+        rows3 = []
+        for node in nodes:
+            n_child = int(tree.n_child[node])
+            nds = [int(tree.children[node, 0]), int(tree.children[node, 1]),
+                   int(tree.children[node, 2]) if n_child == 3 else node]
+            rws = [nds[0], nds[1],
+                   nds[2] if n_child == 3 else ml.up_row(node)]
+            nodes3.append(nds)
+            rows3.append(rws)
+        nodes3 = np.array(nodes3)
+        rows3 = np.array(rows3)
+        scratch = ml.scratch_rows_for(len(nodes))
+        for _ in range(2):
+            for i in range(3):
+                b1, b2 = (i + 1) % 3, (i + 2) % 3
+                ml.posterior_rows(scratch, rows3[:, b1], rows3[:, b2],
+                                  tree.branchlength[nodes3[:, b1]],
+                                  tree.branchlength[nodes3[:, b2]])
+                guesses = np.maximum(tree.branchlength[nodes3[:, i]],
+                                     nj.options.ml_min_branch_length)
+                xs, _ = ml.opt_branch_length_rows(rows3[:, i], scratch, guesses)
+                tree.branchlength[nodes3[:, i]] = xs
+        # refresh this level's profiles for the next level up
+        upd = [n for n in nodes if n != tree.root]
+        if upd:
+            iis = [int(tree.children[n, 0]) for n in upd]
+            jjs = [int(tree.children[n, 1]) for n in upd]
+            nj.ml.posterior_rows(np.array(upd), iis, jjs,
+                                 tree.branchlength[iis], tree.branchlength[jjs])

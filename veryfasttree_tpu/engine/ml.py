@@ -702,6 +702,13 @@ def test_splits_ml(nj, progress=None) -> SplitCount:
 def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=None):
     opts = nj.options
     nj.ml = MLProfiles(nj, nj.transmat)
+    if opts.threads > 1:
+        from . import batched
+        do_nni_fn = batched.do_nni_batched
+        opt_lengths_fn = lambda nj_: batched.optimize_all_branch_lengths_batched(nj_)
+    else:
+        do_nni_fn = rearrange.do_nni
+        opt_lengths_fn = optimize_all_branch_lengths
     reset_gtr = opts.n_codes == 4 and opts.use_gtr and not opts.use_gtr_rates
     stats = rearrange.NNIStats.init(nj)
 
@@ -710,7 +717,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
         last_loglk = -1e20
         for i_round in range(1, max_round + 1):
             old = nj.tree.branchlength.copy()
-            optimize_all_branch_lengths(nj)
+            opt_lengths_fn(nj)
             if log_tree:
                 log_tree("ML_Lengths%d", i_round)
             d_max_change = float(np.abs(
@@ -732,12 +739,12 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
             last_loglk = loglk
 
     if ml_nni_to_do > 0:
-        optimize_all_branch_lengths(nj)
+        opt_lengths_fn(nj)
 
     last_loglk = -1e20
     converged = False
     for i in range(ml_nni_to_do):
-        changes, max_delta = rearrange.do_nni(nj, i, ml_nni_to_do, True, stats)
+        changes, max_delta = do_nni_fn(nj, i, ml_nni_to_do, True, stats)
         if log_tree:
             log_tree("ML_NNI%d", i + 1)
         loglk = tree_loglk(nj)
@@ -766,7 +773,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
             set_ml_rates(nj, progress)
 
     if ml_nni_to_do > 0:
-        optimize_all_branch_lengths(nj)
+        opt_lengths_fn(nj)
         if log is not None:
             loglk = tree_loglk(nj)
             print(f"Optimize all lengths: LogLk = {loglk:.3f}", file=log)

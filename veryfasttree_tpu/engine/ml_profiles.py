@@ -175,8 +175,11 @@ class MLProfiles:
         self.ratecat_np = np.zeros(self.p_pad, dtype=np.int32)
         self._push_rates()
 
-        # leaf rows from codes; internal rows re-averaged bottom-up
-        n_rows = 2 * self.maxnodes + N_SCRATCH
+        # leaf rows from codes; internal rows re-averaged bottom-up.
+        # Extra block of maxnodes rows = batch scratch for level-batched
+        # posterior temporaries (engine/batched.py).
+        self.batch_scratch0 = 2 * self.maxnodes + N_SCRATCH
+        n_rows = 3 * self.maxnodes + N_SCRATCH
         codes_np = np.asarray(me.codes)
         leaf_codes = codes_np[: nj.n_seqs]
         codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
@@ -268,6 +271,60 @@ class MLProfiles:
             self.pos_mask, self.min_rel_len, self.jc)
         self.nj.debug.n_lk_compute += 8  # approximate eval count for telemetry
         return float(x), float(fx)
+
+    def scratch_rows_for(self, n: int) -> np.ndarray:
+        assert n <= self.maxnodes
+        return np.arange(self.batch_scratch0, self.batch_scratch0 + n,
+                         dtype=np.int64)
+
+    def opt_branch_length_rows(self, r1s, r2s, guesses):
+        """Vmapped device Brent across a level -> (lengths, neg_loglks)."""
+        opts = self.options
+        r1p, n = _pad_pow2(np.asarray(r1s, dtype=np.int64))
+        r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
+        gp = np.full(len(r1p), 0.1, dtype=self.dtype)
+        gp[:n] = guesses
+        xs, fxs = _opt_branch_len_rows(
+            self.codes, self.W, self.V, jnp.asarray(r1p), jnp.asarray(r2p),
+            jnp.asarray(gp), self.dtype(opts.ml_min_branch_length),
+            self.dtype(6.0), self.dtype(opts.ml_ftol_branch_length),
+            self.dtype(opts.ml_min_branch_length_tolerance), self.rates,
+            self.ratecat, self.eigenval, self.code_freq, self.pos_mask,
+            self.min_rel_len, self.jc)
+        self.nj.debug.n_lk_compute += 8 * n
+        return (np.asarray(xs, dtype=np.float64)[:n],
+                np.asarray(fxs, dtype=np.float64)[:n])
+
+    def quartet_nni_rows(self, rows, lengths, chunk: int = 256):
+        """Batched full ML quartet NNI (see _quartet_nni_core).  rows [K,4],
+        lengths [K,5] -> (choice [K], criteria [K,3], new_len [K,5])."""
+        opts = self.options
+        K = len(rows)
+        choices = np.zeros(K, dtype=np.int64)
+        crits = np.zeros((K, 3))
+        newlens = np.zeros((K, 5))
+        for s in range(0, K, chunk):
+            e = min(s + chunk, K)
+            n = e - s
+            # fixed chunk shape: one compilation for every batch size
+            m = chunk
+            rpad = np.zeros((m, 4), dtype=np.int64)
+            lpad = np.full((m, 5), 0.1, dtype=self.dtype)
+            rpad[:n] = rows[s:e]
+            lpad[:n] = lengths[s:e]
+            ch, cr, nl = _quartet_nni_rows(
+                self.codes, self.W, self.V, jnp.asarray(rpad), jnp.asarray(lpad),
+                self.rates, self.ratecat, self.eigenval, self.code_freq,
+                self.statinv, self.eigeninv, self.pos_mask, self.min_rel_len,
+                self.min_len, self.tol,
+                self.dtype(opts.ml_ftol_branch_length),
+                self.dtype(opts.ml_min_branch_length_tolerance), self.jc)
+            choices[s:e] = np.asarray(ch)[:n]
+            crits[s:e] = np.asarray(cr)[:n]
+            newlens[s:e] = np.asarray(nl)[:n]
+            self.nj.debug.n_lk_compute += 3 * 5 * 8 * n
+            self.nj.debug.n_posterior_compute += 3 * 6 * n
+        return choices, crits, newlens
 
     def posterior_into(self, target: int, r1: int, r2: int, len1: float,
                        len2: float) -> None:
@@ -375,19 +432,8 @@ def _loglk_of_len(f1, f2, w1, w2, length, rates, ratecat, eigenval, pos_mask,
     return ll
 
 
-@functools.partial(jax.jit, static_argnames=("jc",))
-def _opt_branch_len(codes, W, V, r1, r2, guess, xmin, xmax, ftol, atol,
-                    rates, ratecat, eigenval, code_freq, pos_mask,
-                    min_rel_len, jc):
-    c1, w1, v1 = codes[r1], W[r1], V[r1]
-    c2, w2, v2 = codes[r2], W[r2], V[r2]
-    f1 = kernels.ml_effective(c1, w1, v1, code_freq, False, jc)
-    f2 = kernels.ml_effective(c2, w2, v2, code_freq, False, jc)
-
-    def neg(x):
-        return -_loglk_of_len(f1, f2, w1, w2, x, rates, ratecat, eigenval,
-                              pos_mask, min_rel_len, jc)
-
+def _onedimenmin_device(neg, guess, xmin, xmax, ftol, atol):
+    """Traced bracketing + Brent (ref tcc:7024-7178); `neg` is a traced closure."""
     # --- bracketing (ref onedimenmin tcc:7027-7074)
     ax, bx, cx = jax.lax.cond(
         guess == xmin,
@@ -481,8 +527,161 @@ def _opt_branch_len(codes, W, V, r1, r2, guess, xmin, xmax, ftol, atol,
             lambda: (a2, b2, x2, w2_, v2_, fx2, fw2, fv2, d_new, e_new,
                      it + 1, False))
 
-    z = jnp.float32(0.0) if x.dtype == jnp.float32 else jnp.zeros((), x.dtype)
+    z = jnp.zeros((), x.dtype)
     st = (a, b, x, w_, v_, fx, fw, fv, z, z, jnp.int32(0), jnp.bool_(False))
     a, b, x, w_, v_, fx, fw, fv, d, e, it, done = jax.lax.while_loop(
         brent_cond, brent_body, st)
     return x, fx
+
+
+def _opt_branch_len_core(codes, W, V, r1, r2, guess, xmin, xmax, ftol, atol,
+                         rates, ratecat, eigenval, code_freq, pos_mask,
+                         min_rel_len, jc):
+    c1, w1, v1 = codes[r1], W[r1], V[r1]
+    c2, w2, v2 = codes[r2], W[r2], V[r2]
+    f1 = kernels.ml_effective(c1, w1, v1, code_freq, False, jc)
+    f2 = kernels.ml_effective(c2, w2, v2, code_freq, False, jc)
+
+    def neg(x):
+        return -_loglk_of_len(f1, f2, w1, w2, x, rates, ratecat, eigenval,
+                              pos_mask, min_rel_len, jc)
+
+    return _onedimenmin_device(neg, guess, xmin, xmax, ftol, atol)
+
+
+_opt_branch_len = functools.partial(jax.jit, static_argnames=("jc",))(
+    _opt_branch_len_core)
+
+
+@functools.partial(jax.jit, static_argnames=("jc",))
+def _opt_branch_len_rows(codes, W, V, r1s, r2s, guesses, xmin, xmax, ftol, atol,
+                         rates, ratecat, eigenval, code_freq, pos_mask,
+                         min_rel_len, jc):
+    f = jax.vmap(lambda r1, r2, g: _opt_branch_len_core(
+        codes, W, V, r1, r2, g, xmin, xmax, ftol, atol, rates, ratecat,
+        eigenval, code_freq, pos_mask, min_rel_len, jc))
+    return f(r1s, r2s, guesses)
+
+
+# ---------------------------------------------------------------------------
+# Fully device-side ML quartet optimization (batched NNI mode).
+#
+# The serial path (engine/ml.py) reproduces the reference's star tests and
+# multi-round re-optimization exactly; this device version performs one full
+# 5-branch optimization per candidate topology (the core of MLQuartetOptimize,
+# ref tcc:1650-1788) so a whole NNI round's quartets run as ONE vmapped
+# dispatch.  Posterior temporaries live as traced values -- no scratch rows.
+# Profiles are carried as (f_post, f_lk, w): the two effective-vector variants
+# (posterior vs pairLogLk gap-mixing rules) plus weights.
+# ---------------------------------------------------------------------------
+
+
+def _p_from_row(codes, W, V, r, code_freq, jc):
+    c, w, v = codes[r], W[r], V[r]
+    return (kernels.ml_effective(c, w, v, code_freq, True, jc),
+            kernels.ml_effective(c, w, v, code_freq, False, jc),
+            w)
+
+
+def _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq, statinv,
+               eigeninv, min_rel_len, min_len, tol, jc):
+    f1, _, w1 = p1
+    f2, _, w2 = p2
+    l1 = jnp.maximum(l1, min_len)
+    l2 = jnp.maximum(l2, min_len)
+    if jc:
+        ps1, pd1 = kernels.p_same_diff(l1, rates)
+        ps2, pd2 = kernels.p_same_diff(l2, rates)
+        w_out, v_out = kernels.posterior_jc(f1, f2, w1, w2, ps1, pd1, ps2, pd2,
+                                            ratecat)
+        gap = jnp.full((v_out.shape[-1],), 0.25, dtype=v_out.dtype)
+    else:
+        ee1 = kernels.exp_eigen_rates(l1, rates, eigenval, min_rel_len)
+        ee2 = kernels.exp_eigen_rates(l2, rates, eigenval, min_rel_len)
+        n = f1.shape[-1]
+        w_out, v_out = kernels.posterior_matrix(f1, f2, w1, w2, ee1, ee2,
+                                                ratecat, code_freq[:n],
+                                                eigeninv, statinv, tol)
+        gap = code_freq[127]
+    v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
+    return (v_out, v_out, w_out)
+
+
+def _ll_pair(p1, p2, length, rates, ratecat, eigenval, pos_mask, min_rel_len, jc):
+    _, f1, w1 = p1
+    _, f2, w2 = p2
+    if jc:
+        ps, pd = kernels.p_same_diff(length, rates)
+        ll, _ = kernels.pair_loglk_jc(f1, f2, ps, pd, ratecat, pos_mask)
+    else:
+        ee = kernels.exp_eigen_rates(length, rates, eigenval, min_rel_len)
+        ll, _ = kernels.pair_loglk_matrix(f1, f2, w1, w2, ee, ratecat, pos_mask)
+    return ll
+
+
+def _quartet_opt_device(pA, pB, pC, pD, len5, rates, ratecat, eigenval,
+                        code_freq, statinv, eigeninv, pos_mask, min_rel_len,
+                        min_len, tol, ftol, atol, jc):
+    """One full 5-branch quartet optimization; returns (loglk, new_len5)."""
+    lens = jnp.maximum(len5, min_len)
+    la, lb, lc, ld, li = lens[0], lens[1], lens[2], lens[3], lens[4]
+
+    def post(p1, p2, l1, l2):
+        return _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq,
+                          statinv, eigeninv, min_rel_len, min_len, tol, jc)
+
+    def ll(p1, p2, length):
+        return _ll_pair(p1, p2, length, rates, ratecat, eigenval, pos_mask,
+                        min_rel_len, jc)
+
+    def opt(p1, p2, guess):
+        return _onedimenmin_device(lambda x: -ll(p1, p2, x), guess, min_len,
+                                   jnp.asarray(6.0, dtype=guess.dtype), ftol, atol)
+
+    ab = post(pA, pB, la, lb)
+    cd = post(pC, pD, lc, ld)
+    li, neg = opt(ab, cd, li)
+    bcd = post(pB, cd, lb, li)
+    la, neg = opt(pA, bcd, la)
+    acd = post(pA, cd, la, li)
+    lb, neg = opt(pB, acd, lb)
+    ab = post(pA, pB, la, lb)
+    abd = post(ab, pD, li, ld)
+    lc, neg = opt(pC, abd, lc)
+    abc = post(ab, pC, li, lc)
+    ld, neg = opt(pD, abc, ld)
+    loglk = -neg + ll(ab, pC, li + lc) + ll(pA, pB, la + lb)
+    return loglk, jnp.stack([la, lb, lc, ld, li])
+
+
+def _quartet_nni_core(codes, W, V, rows4, len5, rates, ratecat, eigenval,
+                      code_freq, statinv, eigeninv, pos_mask, min_rel_len,
+                      min_len, tol, ftol, atol, jc):
+    pA = _p_from_row(codes, W, V, rows4[0], code_freq, jc)
+    pB = _p_from_row(codes, W, V, rows4[1], code_freq, jc)
+    pC = _p_from_row(codes, W, V, rows4[2], code_freq, jc)
+    pD = _p_from_row(codes, W, V, rows4[3], code_freq, jc)
+    args = (rates, ratecat, eigenval, code_freq, statinv, eigeninv, pos_mask,
+            min_rel_len, min_len, tol, ftol, atol, jc)
+    l_ab = len5
+    l_ac = jnp.stack([len5[0], len5[2], len5[1], len5[3], len5[4]])
+    l_ad = jnp.stack([len5[0], len5[3], len5[2], len5[1], len5[4]])
+    ll_ab, n_ab = _quartet_opt_device(pA, pB, pC, pD, l_ab, *args)
+    ll_ac, n_ac = _quartet_opt_device(pA, pC, pB, pD, l_ac, *args)
+    ll_ad, n_ad = _quartet_opt_device(pA, pD, pC, pB, l_ad, *args)
+    crit = jnp.stack([ll_ab, ll_ac, ll_ad])
+    pick_ac = (ll_ac > ll_ab) & (ll_ac > ll_ad)
+    pick_ad = (ll_ad > ll_ab) & (ll_ad > ll_ac) & ~pick_ac
+    choice = jnp.where(pick_ac, 1, jnp.where(pick_ad, 2, 0))
+    newlen = jnp.where(pick_ac, n_ac, jnp.where(pick_ad, n_ad, n_ab))
+    return choice, crit, newlen
+
+
+@functools.partial(jax.jit, static_argnames=("jc",))
+def _quartet_nni_rows(codes, W, V, rows, lens, rates, ratecat, eigenval,
+                      code_freq, statinv, eigeninv, pos_mask, min_rel_len,
+                      min_len, tol, ftol, atol, jc):
+    f = jax.vmap(lambda r4, l5: _quartet_nni_core(
+        codes, W, V, r4, l5, rates, ratecat, eigenval, code_freq, statinv,
+        eigeninv, pos_mask, min_rel_len, min_len, tol, ftol, atol, jc))
+    return f(rows, lens)

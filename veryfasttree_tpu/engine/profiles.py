@@ -41,20 +41,42 @@ def _pad_pow2(idx: np.ndarray, fill: int = 0):
     return out, n
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix",))
-def _dist_many(U, W, uq, wq, eigenval, use_matrix):
+# The reference accumulates profile-distance sums in double even in float mode
+# (ref profileDist tcc:1167-1190: `double top, denom` over float profiles), and
+# near-tie join decisions at large N are sensitive to that.  On CPU (parity
+# tests) we therefore upcast the contractions to f64; on TPU we stay in f32
+# (f64 is emulated and the oracle is not bit-comparable there anyway).
+
+
+def _accum_dtype():
+    import jax as _jax
+    if _jax.config.jax_enable_x64 and _jax.default_backend() == "cpu":
+        return jnp.float64
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
+def _dist_many(U, W, uq, wq, eigenval, use_matrix, up=None):
+    if up is not None:
+        U, W, uq, wq, eigenval = (x.astype(up) for x in (U, W, uq, wq, eigenval))
     return kernels.me_dist_many(U, W, uq, wq, eigenval if use_matrix else None)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix",))
-def _dist_gather(U, W, js, uq, wq, eigenval, use_matrix):
-    return kernels.me_dist_many(U[js], W[js], uq, wq,
+@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
+def _dist_gather(U, W, js, uq, wq, eigenval, use_matrix, up=None):
+    Uj, Wj = U[js], W[js]
+    if up is not None:
+        Uj, Wj, uq, wq, eigenval = (x.astype(up) for x in (Uj, Wj, uq, wq, eigenval))
+    return kernels.me_dist_many(Uj, Wj, uq, wq,
                                 eigenval if use_matrix else None)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix",))
-def _dist_rows(U, W, iis, jjs, eigenval, use_matrix):
-    return kernels.me_dist_rows(U[iis], W[iis], U[jjs], W[jjs],
+@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
+def _dist_rows(U, W, iis, jjs, eigenval, use_matrix, up=None):
+    U1, W1, U2, W2 = U[iis], W[iis], U[jjs], W[jjs]
+    if up is not None:
+        U1, W1, U2, W2, eigenval = (x.astype(up) for x in (U1, W1, U2, W2, eigenval))
+    return kernels.me_dist_rows(U1, W1, U2, W2,
                                 eigenval if use_matrix else None)
 
 
@@ -203,20 +225,21 @@ class MEProfiles:
                 np.asarray(self.eigenval) if self.use_matrix else None)
         else:
             d, w = _dist_many(self.U, self.W, self.U[i], self.W[i],
-                              self.eigenval, self.use_matrix)
+                              self.eigenval, self.use_matrix, _accum_dtype())
         return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
         jpad, n = _pad_pow2(np.asarray(js, dtype=np.int64))
         d, w = _dist_gather(self.U, self.W, jnp.asarray(jpad), self.U[i],
-                            self.W[i], self.eigenval, self.use_matrix)
+                            self.W[i], self.eigenval, self.use_matrix,
+                            _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     def dist_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
         d, w = _dist_rows(self.U, self.W, jnp.asarray(ipad), jnp.asarray(jpad),
-                          self.eigenval, self.use_matrix)
+                          self.eigenval, self.use_matrix, _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     def dist_pieces_pairs(self, iis: np.ndarray, jjs: np.ndarray):
@@ -233,17 +256,19 @@ class MEProfiles:
         uq, wq = self.out_query()
         ipad, n = _pad_pow2(np.asarray(idx, dtype=np.int64))
         d, w = _dist_gather(self.U, self.W, jnp.asarray(ipad), uq, wq,
-                            self.eigenval, self.use_matrix)
+                            self.eigenval, self.use_matrix, _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     # -- profile construction ------------------------------------------------
     def join(self, i: int, j: int, newnode: int, bionj_weight: float):
         """averageProfile into newnode; returns (selfdist, selfweight) of it."""
         bw = 0.5 if bionj_weight < 0 else bionj_weight
-        self.codes, self.W, self.U, d, wt = _join_update(
+        self.codes, self.W, self.U, _, _ = _join_update(
             self.codes, self.W, self.U, i, j, newnode, self.dtype(bw),
             self.code_freq, self.eigenval, self.eigentot, self.use_matrix, self.tol)
-        return float(d), float(wt)
+        # self-distance with double accumulation (ref profileDist)
+        d, wt = self.dist_pairs([newnode], [newnode])
+        return float(d[0]), float(wt[0])
 
     def set_from_average(self, node: int, i: int, j: int, bionj_weight: float) -> None:
         bw = 0.5 if bionj_weight < 0 else bionj_weight

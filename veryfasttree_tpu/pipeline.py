@@ -205,12 +205,18 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
         int(0.5 + 2.0 * math.log2(max(n_uniq, 2)))
 
     # --- ME NNI rounds interleaved with SPR (ref VeryFastTreeImpl.tcc:161-204)
+    if options.threads > 1:
+        # level-batched NNI rounds (the reference's thread-level-2 analog)
+        from .engine import batched
+        do_nni_fn = batched.do_nni_batched
+    else:
+        do_nni_fn = rearrange.do_nni
     if nni_to_do > 0 and n_uniq > 3:
         stats = rearrange.NNIStats.init(nj)
         converged = False
         for i in range(nni_to_do):
             if not converged:
-                n_change, _ = rearrange.do_nni(nj, i, nni_to_do, False, stats)
+                n_change, _ = do_nni_fn(nj, i, nni_to_do, False, stats)
                 progress.print("ME NNI round %d of %d, %d changes", i + 1,
                                nni_to_do, n_change)
                 log_tree("ME_NNI%d", i + 1)
