@@ -263,3 +263,116 @@ def optimize_all_branch_lengths_batched(nj) -> None:
             jjs = [int(tree.children[n, 1]) for n in upd]
             nj.ml.posterior_rows(np.array(upd), iis, jjs,
                                  tree.branchlength[iis], tree.branchlength[jjs])
+
+
+def update_branch_lengths_batched(nj) -> None:
+    """ME branch lengths for ALL nodes in one batched distance call
+    (thread-level-1 analog of ref updateBranchLengths tcc:6502-6598)."""
+    tree = nj.tree
+    if nj.n_seqs < 2:
+        return
+    if nj.n_seqs == 2:
+        rearrange.update_branch_lengths(nj)
+        return
+    compute_up_profiles_levelwise(nj, use_ml=False)
+    leaf_nodes, leaf_rows = [], []
+    int_nodes, int_rows = [], []
+    for node in range(tree.maxnode):
+        if node == tree.root or tree.parent[node] < 0:
+            continue
+        if node < nj.n_seqs:
+            sib = tree.sibling(node)
+            if sib == -1:
+                sibs = tree.root_siblings(node)
+                rows3 = [node, sibs[0], sibs[1]]
+            else:
+                rows3 = [node, sib, nj.prof.up_row(int(tree.parent[node]))]
+            leaf_nodes.append(node)
+            leaf_rows.append(rows3)
+        elif tree.n_child[node] == 2:
+            a, b = int(tree.children[node, 0]), int(tree.children[node, 1])
+            par = int(tree.parent[node])
+            if par == tree.root:
+                sibs = tree.root_siblings(node)
+                rows4 = [a, b, sibs[0], sibs[1]]
+            else:
+                rows4 = [a, b, tree.sibling(node), nj.prof.up_row(par)]
+            int_nodes.append(node)
+            int_rows.append(rows4)
+
+    iis, jjs = [], []
+    for rows3 in leaf_rows:  # AB, AC, BC
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            iis.append(rows3[i])
+            jjs.append(rows3[j])
+    for rows4 in int_rows:   # AB, AC, AD, BC, BD, CD
+        for i, j in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+            iis.append(rows4[i])
+            jjs.append(rows4[j])
+    if not iis:
+        return
+    dist, weight = nj.prof.dist_pairs(np.array(iis), np.array(jjs))
+    nj.debug.profile_ops += len(iis)
+    weight = np.where(weight > 0, weight, 0.01)
+    if nj.options.pseudo_weight > 0:
+        # per-node prior over its own pair group (ref correctedPairDistances)
+        pw = nj.options.pseudo_weight
+        off = 0
+        for group in ([3] * len(leaf_nodes) + [6] * len(int_nodes)):
+            d = dist[off:off + group]
+            w = weight[off:off + group]
+            bottom = w.sum()
+            prior = (d * w).sum() / bottom if bottom > 0.01 else 3.0
+            dist[off:off + group] = (d * w + prior * pw) / (w + pw)
+            off += group
+    if nj.options.logdist:
+        dist = nj.log_corrected(dist)
+    off = 0
+    for node in leaf_nodes:
+        d = dist[off:off + 3]
+        tree.branchlength[node] = (d[0] + d[1] - d[2]) / 2.0
+        off += 3
+    for node in int_nodes:
+        d = dist[off:off + 6]
+        tree.branchlength[node] = (d[1] + d[2] + d[3] + d[4]) / 4.0 \
+            - (d[0] + d[5]) / 2.0
+        off += 6
+
+
+def tree_length_batched(nj, recompute_profiles: bool) -> float:
+    if recompute_profiles:
+        rearrange.recompute_profiles_levelwise(nj)
+    update_branch_lengths_batched(nj)
+    return float(nj.tree.branchlength[: nj.tree.maxnode].sum())
+
+
+def test_splits_ml_batched(nj, progress=None):
+    """Batched ML split testing (no-bootstrap path): the three topology
+    log-likelihoods per split via the vmapped quartet optimizer
+    (thread-level analog of ref testSplitsML tcc:6800-6999)."""
+    from .supports import SplitCount
+    sc = SplitCount()
+    tree = nj.tree
+    if nj.n_seqs <= 3:
+        return sc
+    compute_up_profiles_levelwise(nj, use_ml=True)
+    candidates = [n for n in range(nj.n_seqs, tree.maxnode)
+                  if n != tree.root and tree.parent[n] >= 0
+                  and tree.n_child[n] == 2]
+    if not candidates:
+        return sc
+    rows, nodes4 = _gather_quartets(nj, candidates, use_ml=True)
+    lengths = np.stack([
+        tree.branchlength[nodes4[:, 0]], tree.branchlength[nodes4[:, 1]],
+        tree.branchlength[nodes4[:, 2]], tree.branchlength[nodes4[:, 3]],
+        tree.branchlength[np.array(candidates)]], axis=1)
+    _, criteria, _ = nj.ml.quartet_nni_rows(rows, lengths)
+    loglk = criteria  # [K, 3] = (ABvsCD, ACvsBD, ADvsBC) quartet log-lks
+    best = loglk.max(axis=1)
+    bad = best > loglk[:, ABvsCD] + constants.TREE_LOGLK_DELTA
+    sc.n_splits = len(candidates)
+    sc.n_bad_splits = int(bad.sum())
+    if bad.any():
+        sc.d_worst_delta_unconstrained = float(
+            (best - loglk[:, ABvsCD])[bad].max())
+    return sc

@@ -780,7 +780,11 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
 
     sc = SplitCount()
     if (ml_nni_to_do > 0 and not opts.fastest) or opts.n_bootstrap > 0:
-        sc = test_splits_ml(nj, progress)
+        if opts.threads > 1 and opts.n_bootstrap == 0:
+            from . import batched
+            sc = batched.test_splits_ml_batched(nj, progress)
+        else:
+            sc = test_splits_ml(nj, progress)
 
     if opts.gamma_loglk and opts.n_rate_cats > 1:
         branch_length_scale(nj, progress)

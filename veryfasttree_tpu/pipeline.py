@@ -208,9 +208,13 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
     if options.threads > 1:
         # level-batched NNI rounds (the reference's thread-level-2 analog)
         from .engine import batched
+        from .engine import spr_batched
         do_nni_fn = batched.do_nni_batched
+        run_spr_fn = spr_batched.run_spr_batched
     else:
+        from .engine import spr as _spr_mod
         do_nni_fn = rearrange.do_nni
+        run_spr_fn = _spr_mod.run_spr
     if nni_to_do > 0 and n_uniq > 3:
         stats = rearrange.NNIStats.init(nj)
         converged = False
@@ -224,19 +228,21 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
                     converged = True
             if (spr_remaining > 0 and nni_to_do // (options.spr + 1) > 0
                     and (i + 1) % (nni_to_do // (options.spr + 1)) == 0):
-                from .engine import spr as spr_mod
-                spr_mod.run_spr(nj, options.spr - spr_remaining, options.spr)
+                run_spr_fn(nj, options.spr - spr_remaining, options.spr)
                 log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
                 spr_remaining -= 1
                 converged = False
                 stats = rearrange.NNIStats.init(nj)
     while spr_remaining > 0 and n_uniq > 3:
-        from .engine import spr as spr_mod
-        spr_mod.run_spr(nj, options.spr - spr_remaining, options.spr)
+        run_spr_fn(nj, options.spr - spr_remaining, options.spr)
         log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
         spr_remaining -= 1
 
-    rearrange.update_branch_lengths(nj)
+    if options.threads > 1:
+        from .engine import batched
+        batched.update_branch_lengths_batched(nj)
+    else:
+        rearrange.update_branch_lengths(nj)
     log_tree("ME_Lengths", 0)
     total_len = nj.total_len()
     if options.verbose > 0 and log is not None:
