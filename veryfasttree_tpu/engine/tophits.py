@@ -70,6 +70,30 @@ class TopHits:
         self.hits_j[i_node] = np.array(keep_j, dtype=np.int64)
         self.hits_dist[i_node] = np.array(keep_d)
 
+    def get_visible_batch(self, nj, n_active: int, nodes):
+        """Batched getVisible: criteria for many nodes' visible entries in one
+        device call.  Returns dict node -> Besthit (absent if invalid).
+        Identical results to per-node get_visible: out-distance refreshes
+        commute (each node's refresh decision is independent)."""
+        tree = nj.tree
+        valid = []
+        for i_node in nodes:
+            i_node = int(i_node)
+            if i_node < 0 or tree.parent[i_node] >= 0:
+                continue
+            j = int(self.visible_j[i_node])
+            if j < 0 or tree.parent[j] >= 0:
+                continue
+            valid.append((i_node, j, float(self.visible_dist[i_node])))
+        if not valid:
+            return {}
+        iis = np.array([v[0] for v in valid])
+        jjs = np.array([v[1] for v in valid])
+        dists = np.array([v[2] for v in valid])
+        crits = nj.set_criterion_batch(n_active, iis, jjs, dists)
+        return {int(i): Besthit(int(i), int(j), -1.0, float(d), float(c))
+                for (i, j, d), c in zip(valid, crits)}
+
     def get_visible(self, nj, n_active: int, i_node: int):
         """ref getVisible tcc:546-557: criterion-refreshed visible entry or None."""
         if i_node < 0 or nj.tree.parent[i_node] >= 0:
@@ -175,32 +199,40 @@ class TopHits:
         return cand[order], dist[order]
 
     def _check_reverse_inclusion(self, nj, n_seqs: int) -> None:
-        """Checking phase: hits of i should appear in j's list (ref :4052-4123)."""
+        """Checking phase: hits of i should appear in j's list (ref :4052-4123).
+
+        At this point every out-distance is fresh at nActive == nSeqs, so the
+        criterion is the pure host expression dist - (outI+outJ)/(nSeqs-2) --
+        no device work at all.
+        """
         n_check = self.q if self.q > 0 else int(0.5 + 2.0 * math.sqrt(self.m))
+        out = nj.out_distances
+        denom = n_seqs - 2
+
+        def crit(i, j, dist):
+            return dist - (out[i] + out[j]) / denom
+
         l_replace = 0
         for i_node in range(n_seqs):
             js = self.hits_j[i_node]
+            ds = self.hits_dist[i_node]
             for i_hit in range(min(n_check, len(js))):
                 j = int(js[i_hit])
-                crit = float(nj.set_criterion_batch(
-                    n_seqs, [i_node], [j], [self.hits_dist[i_node][i_hit]])[0])
+                c = crit(i_node, j, ds[i_hit])
                 tj = self.hits_j[j]
                 td = self.hits_dist[j]
-                crit_check = float(nj.set_criterion_batch(
-                    n_seqs, [j], [int(tj[n_check - 1])], [td[n_check - 1]])[0])
-                if crit_check < crit:
+                if crit(j, int(tj[n_check - 1]), td[n_check - 1]) < c:
                     continue
                 if i_node in tj:
                     continue
-                # replace the worst hit of j if this one is better
-                crits = nj.set_criterion_batch(n_seqs, np.full(len(tj), j), tj, td)
+                crits = td - (out[j] + out[tj]) / denom
                 i_worst = int(np.argmax(crits))
-                if crits[i_worst] > crit:
+                if crits[i_worst] > c:
                     tj[i_worst] = i_node
-                    td[i_worst] = self.hits_dist[i_node][i_hit]
+                    td[i_worst] = ds[i_hit]
                     l_replace += 1
                     v = self.get_visible(nj, n_seqs, j)
-                    if v is not None and crit < v.criterion:
+                    if v is not None and c < v.criterion:
                         self.visible_j[j] = i_node
                         self.visible_dist[j] = td[i_worst]
 
@@ -212,8 +244,9 @@ class TopHits:
         n_candidate = 0
         best_node = -1
         best_crit = 1e20
+        vis = self.get_visible_batch(nj, n_active, self.topvisible)
         for i_node in self.topvisible:
-            v = self.get_visible(nj, n_active, int(i_node))
+            v = vis.get(int(i_node))
             if v is not None:
                 n_candidate += 1
                 if best_node < 0 or v.criterion < best_crit:
@@ -402,10 +435,11 @@ class TopHits:
 
     # ----------------------------------------------------- visible set upkeep
     def update_visible(self, nj, n_active: int, i_node: int, jjs, dists, crits):
-        """ref updateVisible tcc:4635-4658."""
+        """ref updateVisible tcc:4635-4658 (criteria evaluated in one batch)."""
+        vis = self.get_visible_batch(nj, n_active, jjs)
         for j, d, c in zip(jjs, dists, crits):
             j = int(j)
-            v = self.get_visible(nj, n_active, j)
+            v = vis.get(j)
             if v is None or c < v.criterion:
                 if v is not None:
                     nj.debug.n_visible_update += 1
@@ -430,9 +464,10 @@ class TopHits:
         i_pos_worst = -1
         d_crit_worst = -1e20
         if not b_in:
+            vis = self.get_visible_batch(nj, n_active, self.topvisible)
             for k, i_node in enumerate(self.topvisible):
                 i_node = int(i_node)
-                v = self.get_visible(nj, n_active, i_node)
+                v = vis.get(i_node)
                 if v is None:
                     self.topvisible[k] = i_in
                     b_in = True
@@ -452,13 +487,9 @@ class TopHits:
     def reset_top_visible(self, nj, n_active: int) -> None:
         """ref resetTopVisible tcc:4728-4784."""
         tree = nj.tree
-        entries = []
-        for i_node in range(tree.maxnode):
-            if tree.parent[i_node] >= 0:
-                continue
-            v = self.get_visible(nj, n_active, i_node)
-            if v is not None:
-                entries.append(v)
+        active = [i for i in range(tree.maxnode) if tree.parent[i] < 0]
+        vis = self.get_visible_batch(nj, n_active, active)
+        entries = [vis[i] for i in active if i in vis]
         assert entries
         entries.sort(key=lambda v: v.criterion)
         in_top = {}
