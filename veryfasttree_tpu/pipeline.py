@@ -125,7 +125,18 @@ def _try_native_read(options):
 
 
 def run_pipeline(options, input_fp, output_fp, log_fp=None):
-    """The full inference pipeline.  Returns the NJ engine (for inspection)."""
+    """The full inference pipeline.  With -n > 1, analyzes multiple
+    alignments from the same (phylip) stream (ref main.cpp:89, "global
+    bootstrap" use).  Returns the last alignment's NJ engine."""
+    result = None
+    for i_aln in range(options.n_align):
+        if i_aln > 0:
+            options.in_file_name = ""  # only the first read can use the native path
+        result = _run_single(options, input_fp, output_fp, log_fp)
+    return result
+
+
+def _run_single(options, input_fp, output_fp, log_fp=None):
     log = log_fp
     progress = ProgressReport(options.show_progress, options.verbose,
                               options.relative_progress)
