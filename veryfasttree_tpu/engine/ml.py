@@ -407,6 +407,17 @@ def ml_site_likelihoods_by_rate(nj, rates: np.ndarray, progress=None):
     return out
 
 
+def log_ml_rates(nj, log) -> None:
+    """ref logMLRates tcc:5497-5514: per-site CAT rates into the -log file."""
+    if log is None or not nj.options.log_file_name:
+        return
+    ml = nj.ml
+    print(f"NCategories{len(ml.rates_np)}", file=log)
+    print("Rates " + " ".join(f"{r:f}" for r in ml.rates_np), file=log)
+    print("SiteCategories " + " ".join(
+        str(int(c) + 1) for c in ml.ratecat_np[: nj.n_pos]), file=log)
+
+
 def set_ml_rates(nj, progress=None) -> None:
     """ref setMLRates tcc:5429-5488: per-site argmax rate with Gamma(3,1/3)
     prior, mean-normalized."""
@@ -578,12 +589,24 @@ def rescale_gamma_loglk(nj, rates, site_loglk, progress=None):
                                            neg_mult, 0.001, 0.001)
         if fx > start - 0.001:
             break
-    total, _ = gamma_loglk(rates, site_loglk, state["mult"], state["alpha"],
-                           want_sites=True)
+    total, sites = gamma_loglk(rates, site_loglk, state["mult"], state["alpha"],
+                               want_sites=True)
     if nj.log is not None:
         print("Gamma(%d) LogLk = %.3f alpha = %.3f rescaling lengths by %.3f"
               % (nj.options.n_rate_cats, total, state["alpha"], 1 / state["mult"]),
               file=nj.log)
+        if nj.options.log_file_name:
+            # per-site Gamma log-likelihood table for CONSEL (ref tcc:5341-5357)
+            nc = nj.options.n_rate_cats
+            print("Gamma%dLogLk\t%.3f\tApproximate\tAlpha\t%.3f\tRescale\t%.3f"
+                  % (nc, total, state["alpha"], 1 / state["mult"]), file=nj.log)
+            print("Gamma%d\tSite\tLogLk" % nc
+                  + "".join("\tr=%.3f" % (r / state["mult"]) for r in rates),
+                  file=nj.log)
+            for i_pos in range(nj.n_pos):
+                print("Gamma%d\t%d\t%.3f" % (nc, i_pos, sites[i_pos])
+                      + "".join("\t%.3f" % site_loglk[r, i_pos]
+                                for r in range(len(rates))), file=nj.log)
     return 1.0 / state["mult"]
 
 
@@ -734,6 +757,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
                     set_ml_gtr(nj, opts.gtr_freq if opts.use_gtr_freq else None,
                                progress)
                 set_ml_rates(nj, progress)
+                log_ml_rates(nj, log)
             if converged:
                 break
             last_loglk = loglk
@@ -771,6 +795,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
                 set_ml_gtr(nj, opts.gtr_freq if opts.use_gtr_freq else None,
                            progress)
             set_ml_rates(nj, progress)
+            log_ml_rates(nj, log)
 
     if ml_nni_to_do > 0:
         opt_lengths_fn(nj)
