@@ -137,6 +137,10 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
 
 
 def _run_single(options, input_fp, output_fp, log_fp=None):
+    import jax
+    # near-tie join/NNI decisions need full f32 matmul accumulation on TPU
+    # (default is bfloat16 inputs); the Pallas kernels already run HIGHEST.
+    jax.config.update("jax_default_matmul_precision", "highest")
     log = log_fp
     progress = ProgressReport(options.show_progress, options.verbose,
                               options.relative_progress)
