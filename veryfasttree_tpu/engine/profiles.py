@@ -108,14 +108,6 @@ def _join_update(codes, W, U, i, j, newnode, bw, code_freq, eigenval, eigentot,
     return codes, W, U, d[0], wt[0]
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "tol"), donate_argnums=(0, 1, 2))
-def _set_leaf_like(codes, W, U, node, c, w, u, use_matrix, tol):
-    codes = codes.at[node].set(c)
-    W = W.at[node].set(w)
-    U = U.at[node].set(u)
-    return codes, W, U
-
-
 @functools.partial(jax.jit, static_argnames=("use_matrix", "tol"))
 def _outprofile_full(U, W, mask, code_freq, eigentot, use_matrix, tol):
     return kernels.out_profile(U, W, mask, code_freq,
