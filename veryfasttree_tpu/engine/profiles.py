@@ -1,12 +1,12 @@
 """Device-resident profile store (minimum-evolution phase).
 
 TPU-native replacement for the reference's per-node heap/mmap Profile objects
-(ref NeighbourJoining.h:126-161, DiskMemory): all profiles live in three fixed
--shape device arrays
+(ref NeighbourJoining.h:126-161, DiskMemory): profiles live in fixed-shape
+device arrays
 
-    codes   int8 [maxnodes, P]   (NOCODE marks stored-vector / gap positions)
-    W       f32  [maxnodes, P]   (non-gap weights)
-    U       f32  [maxnodes, P, C] (weight * rotated frequency vector)
+    codes   int8 [rows, P]    (NOCODE marks stored-vector / gap positions)
+    W       f32  [rows, P]    (non-gap weights)
+    U       f32  [rows, P, C] (weight * rotated frequency vector)
 
 padded along P to a lane multiple.  The sparse "only store vectors for
 ambiguous positions" encoding of the reference collapses into U exactly (a
@@ -14,8 +14,18 @@ coded position's implicit vector is the rotated one-hot codeFreq[c]; identity:
 codeFreq[c1].(eigenval*codeFreq[c2]) == distances[c1][c2]), so every distance
 scan is a dense matmul and seqDist/profileDist/codeDist become one code path.
 
-The out-profile (average of active nodes, ref tcc:729-815) is stored alongside
-as (w_out[P], f_out[P,C]) frequencies.
+Two storage tiers (the TPU form of the reference's leaf fast path + disk
+computing, SURVEY.md section 5.7):
+* dense mode (default, small/medium N): every row materialized;
+* two-tier mode (large N): leaves exist only as int8 codes -- 1 byte/position
+  in HBM instead of C floats -- and their weighted one-hot vectors are
+  expanded on the fly inside the kernels (ops/kernels.leaf_u /
+  me_dist_many_codes).  This cuts leaf HBM footprint and scan bandwidth ~16x
+  and is what makes genome-scale alignments fit in pod HBM.
+
+Row layout: [0, maxnodes) node profiles, [maxnodes, 2*maxnodes) up-profile
+slots (ref getUpProfile tcc:3382-3434).  In two-tier mode the float arrays
+cover only rows >= n_seqs (physical index = row - n_seqs).
 
 Host<->device contract: the NJ loop passes numpy index arrays (padded to
 power-of-two buckets so jit caches a few shapes) and receives numpy dist/denom
@@ -55,36 +65,76 @@ def _accum_dtype():
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
-def _dist_many(U, W, uq, wq, eigenval, use_matrix, up=None):
+def _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier):
+    """Gather (codes, W, U) tiles for arbitrary row indices.
+
+    In two-tier mode, leaf rows (< n_seqs) are expanded from codes on the fly;
+    the float arrays hold only rows >= n_seqs at physical index row - n_seqs.
+    """
+    c = codes[rows]
+    if not two_tier:
+        return c, W[rows], U[rows]
+    is_leaf = rows < n_seqs
+    phys = jnp.maximum(rows - n_seqs, 0)
+    w_i = W[phys]
+    u_i = U[phys]
+    u_l, w_l = kernels.leaf_u(c, code_freq, U.dtype)
+    return (c,
+            jnp.where(is_leaf[:, None], w_l, w_i),
+            jnp.where(is_leaf[:, None, None], u_l, u_i))
+
+
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
+def _dist_all(codes, W, U, uq, wq, n_seqs, eigenval, code_freq, use_matrix,
+              two_tier, up=None):
+    """One query vs ALL rows -> (dist, denom) ordered by row index."""
+    ev = eigenval if use_matrix else None
     if up is not None:
-        U, W, uq, wq, eigenval = (x.astype(up) for x in (U, W, uq, wq, eigenval))
-    return kernels.me_dist_many(U, W, uq, wq, eigenval if use_matrix else None)
+        uq = uq.astype(up)
+        wq = wq.astype(up)
+        U = U.astype(up)
+        W = W.astype(up)
+        code_freq = code_freq.astype(up)
+        if ev is not None:
+            ev = ev.astype(up)
+    if not two_tier:
+        return kernels.me_dist_many(U, W, uq, wq, ev)
+    d_leaf, w_leaf = kernels.me_dist_many_codes(
+        codes[:n_seqs], uq, wq, ev, code_freq, uq.dtype)
+    d_int, w_int = kernels.me_dist_many(U, W, uq, wq, ev)
+    return (jnp.concatenate([d_leaf, d_int]),
+            jnp.concatenate([w_leaf, w_int]))
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
-def _dist_gather(U, W, js, uq, wq, eigenval, use_matrix, up=None):
-    Uj, Wj = U[js], W[js]
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
+def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
+                 use_matrix, two_tier, up=None):
+    _, Wj, Uj = _rows_cwu(codes, W, U, js, code_freq, n_seqs, two_tier)
+    ev = eigenval if use_matrix else None
     if up is not None:
-        Uj, Wj, uq, wq, eigenval = (x.astype(up) for x in (Uj, Wj, uq, wq, eigenval))
-    return kernels.me_dist_many(Uj, Wj, uq, wq,
-                                eigenval if use_matrix else None)
+        Uj, Wj, uq, wq = (x.astype(up) for x in (Uj, Wj, uq, wq))
+        ev = ev.astype(up) if ev is not None else None
+    return kernels.me_dist_many(Uj, Wj, uq, wq, ev)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "up"))
-def _dist_rows(U, W, iis, jjs, eigenval, use_matrix, up=None):
-    U1, W1, U2, W2 = U[iis], W[iis], U[jjs], W[jjs]
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
+def _dist_rows(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
+               use_matrix, two_tier, up=None):
+    _, W1, U1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
+    _, W2, U2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
+    ev = eigenval if use_matrix else None
     if up is not None:
-        U1, W1, U2, W2, eigenval = (x.astype(up) for x in (U1, W1, U2, W2, eigenval))
-    return kernels.me_dist_rows(U1, W1, U2, W2,
-                                eigenval if use_matrix else None)
+        U1, W1, U2, W2 = (x.astype(up) for x in (U1, W1, U2, W2))
+        ev = ev.astype(up) if ev is not None else None
+    return kernels.me_dist_rows(U1, W1, U2, W2, ev)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix",))
-def _dist_pieces(U, W, iis, jjs, eigenval, use_matrix):
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier"))
+def _dist_pieces(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
+                 use_matrix, two_tier):
     """Per-position weighted distance pieces for row pairs -> ([K,P], [K,P])."""
-    U1, W1 = U[iis], W[iis]
-    U2, W2 = U[jjs], W[jjs]
+    _, W1, U1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
+    _, W2, U2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
     weights = W1 * W2
     dots = jnp.einsum("kpc,kpc->kp", U1, U2)
     if use_matrix:
@@ -94,47 +144,90 @@ def _dist_pieces(U, W, iis, jjs, eigenval, use_matrix):
     return pieces, weights
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "tol"), donate_argnums=(0, 1, 2))
-def _join_update(codes, W, U, i, j, newnode, bw, code_freq, eigenval, eigentot,
-                 use_matrix, tol):
+@functools.partial(jax.jit,
+                   static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
+                   donate_argnums=(0, 1, 2))
+def _join_update(codes, W, U, i, j, newnode, phys_new, bw, n_seqs, code_freq,
+                 eigenval, eigentot, use_matrix, two_tier, tol):
+    pair = jnp.stack([i, j])
+    cg, wg, ug = _rows_cwu(codes, W, U, pair, code_freq, n_seqs, two_tier)
     c, w, u, _ = kernels.average_profile(
-        codes[i], W[i], U[i], codes[j], W[j], U[j], bw, code_freq,
+        cg[0], wg[0], ug[0], cg[1], wg[1], ug[1], bw, code_freq,
         eigentot if use_matrix else None, tol)
     codes = codes.at[newnode].set(c)
-    W = W.at[newnode].set(w)
-    U = U.at[newnode].set(u)
-    d, wt = kernels.me_dist_rows(u[None], w[None], u[None], w[None],
-                                 eigenval if use_matrix else None)
-    return codes, W, U, d[0], wt[0]
+    W = W.at[phys_new].set(w)
+    U = U.at[phys_new].set(u)
+    return codes, W, U
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "tol"))
-def _outprofile_full(U, W, mask, code_freq, eigentot, use_matrix, tol):
-    return kernels.out_profile(U, W, mask, code_freq,
-                               eigentot if use_matrix else None, tol)
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"))
+def _outprofile_full(codes, W, U, mask_leaf, mask_int, n_seqs, code_freq,
+                     eigentot, use_matrix, two_tier, tol):
+    """Out-profile over active rows.  Two-tier: leaf contributions accumulate
+    from codes in chunks (never materializing leaf vectors in HBM)."""
+    et = eigentot if use_matrix else None
+    if not two_tier:
+        full_mask = jnp.concatenate([mask_leaf, mask_int])[: U.shape[0]]
+        return kernels.out_profile(U, W, full_mask, code_freq, et, tol)
+    C = U.shape[-1]
+    P = U.shape[1]
+    n = mask_leaf.sum() + mask_int.sum()
+    m_int = mask_int.astype(U.dtype)
+    accum = jnp.einsum("m,mpc->pc", m_int, U)
+    w_sum = jnp.einsum("m,mp->p", m_int, W)
+
+    CHUNK = 1024
+    n_chunks = (n_seqs + CHUNK - 1) // CHUNK
+    pad = n_chunks * CHUNK
+    codes_l = jnp.pad(codes[:n_seqs], ((0, pad - n_seqs), (0, 0)),
+                      constant_values=NOCODE)
+    mask_l = jnp.pad(mask_leaf, (0, pad - n_seqs))
+
+    def body(k, carry):
+        accum, w_sum = carry
+        blk = jax.lax.dynamic_slice_in_dim(codes_l, k * CHUNK, CHUNK, 0)
+        mb = jax.lax.dynamic_slice_in_dim(mask_l, k * CHUNK, CHUNK, 0)
+        u_l, w_l = kernels.leaf_u(blk, code_freq, U.dtype)
+        mf = mb.astype(U.dtype)
+        accum = accum + jnp.einsum("m,mpc->pc", mf, u_l)
+        w_sum = w_sum + jnp.einsum("m,mp->p", mf, w_l)
+        return accum, w_sum
+
+    accum, w_sum = jax.lax.fori_loop(0, n_chunks, body, (accum, w_sum))
+    w_out = jnp.maximum(w_sum / jnp.maximum(n, 1), 1e-20)
+    nC = code_freq.shape[0]
+    fallback = code_freq[0] if use_matrix else jnp.full(
+        (C,), 1.0 / nC, dtype=U.dtype)
+    f_out = kernels.normalize_freq(accum, et, fallback, tol)
+    return w_out, f_out
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "tol"))
-def _outprofile_update(w_out, f_out, U, W, i, j, newnode, n_active_old,
-                       code_freq, eigentot, use_matrix, tol):
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"))
+def _outprofile_update(w_out, f_out, codes, W, U, i, j, newnode, n_active_old,
+                       n_seqs, code_freq, eigentot, use_matrix, two_tier, tol):
+    rows = jnp.stack([i, j, newnode])
+    _, wg, ug = _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier)
     return kernels.update_out_profile(
-        w_out, f_out, U[i], W[i], U[j], W[j], U[newnode], W[newnode],
+        w_out, f_out, ug[0], wg[0], ug[1], wg[1], ug[2], wg[2],
         n_active_old, code_freq, eigentot if use_matrix else None, tol)
 
 
-@functools.partial(jax.jit, static_argnames=("use_matrix", "tol"))
-def _avg_rows(codes, W, U, iis, jjs, bws, code_freq, eigenval, eigentot,
-              use_matrix, tol):
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"))
+def _avg_rows(codes, W, U, iis, jjs, bws, n_seqs, code_freq, eigenval,
+              eigentot, use_matrix, two_tier, tol):
     """Batched averageProfile over row pairs -> (codes, w, u) stacks."""
+    c1, w1, u1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
+    c2, w2, u2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
     f = jax.vmap(lambda ci, wi, ui, cj, wj, uj, bw: kernels.average_profile(
         ci, wi, ui, cj, wj, uj, bw, code_freq,
         eigentot if use_matrix else None, tol))
-    c, w, u, _ = f(codes[iis], W[iis], U[iis], codes[jjs], W[jjs], U[jjs], bws)
+    c, w, u, _ = f(c1, w1, u1, c2, w2, u2, bws)
     return c, w, u
 
 
 class MEProfiles:
-    def __init__(self, leaf_codes: np.ndarray, options, dmat, maxnodes: int):
+    def __init__(self, leaf_codes: np.ndarray, options, dmat, maxnodes: int,
+                 two_tier: bool | None = None):
         self.options = options
         n_seqs, n_pos = leaf_codes.shape
         self.n_seqs = n_seqs
@@ -147,6 +240,9 @@ class MEProfiles:
         dtype = np.float64 if options.double_precision else np.float32
         self.dtype = dtype
         self.tol = float(options.f_post_total_tolerance)
+        if two_tier is None:
+            two_tier = n_seqs >= getattr(options, "two_tier_min", 20000)
+        self.two_tier = bool(two_tier)
 
         if self.use_matrix:
             self.code_freq = jnp.asarray(dmat.code_freq, dtype=dtype)
@@ -157,29 +253,31 @@ class MEProfiles:
             self.eigenval = jnp.zeros(self.n_codes, dtype=dtype)
             self.eigentot = jnp.ones(self.n_codes, dtype=dtype)
 
-        # rows [0, maxnodes) are node profiles; rows [maxnodes, 2*maxnodes)
-        # are the "up-profile" slots (rest-of-tree profiles, ref getUpProfile
-        # tcc:3382-3434) so every batched op can address both uniformly.
-        # Rows are padded to the Pallas scan tile so the fused TPU kernel
-        # applies without repacking.
         self.maxnodes = maxnodes
         from ..ops.pallas_kernels import TILE_M
         n_rows = ((2 * maxnodes + TILE_M - 1) // TILE_M) * TILE_M
+        self.n_rows = n_rows
         codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
         codes[:n_seqs, :n_pos] = leaf_codes
-        W = np.zeros((n_rows, self.p_pad), dtype=dtype)
-        W[:n_seqs, :n_pos] = (leaf_codes != NOCODE).astype(dtype)
-        cf = np.asarray(self.code_freq)
-        safe = np.where(leaf_codes == NOCODE, 0, leaf_codes).astype(np.int32)
-        V = cf[safe] * (leaf_codes != NOCODE)[..., None]
-        U = np.zeros((n_rows, self.p_pad, self.n_codes), dtype=dtype)
-        U[:n_seqs, :n_pos] = V
         self.codes = jnp.asarray(codes)
+
+        n_float_rows = n_rows - n_seqs if self.two_tier else n_rows
+        W = np.zeros((n_float_rows, self.p_pad), dtype=dtype)
+        U = np.zeros((n_float_rows, self.p_pad, self.n_codes), dtype=dtype)
+        if not self.two_tier:
+            W[:n_seqs, :n_pos] = (leaf_codes != NOCODE).astype(dtype)
+            cf = np.asarray(self.code_freq)
+            safe = np.where(leaf_codes == NOCODE, 0, leaf_codes).astype(np.int32)
+            U[:n_seqs, :n_pos] = cf[safe] * (leaf_codes != NOCODE)[..., None]
         self.W = jnp.asarray(W)
         self.U = jnp.asarray(U)
         self.n_gaps = np.asarray((leaf_codes == NOCODE).sum(axis=1), dtype=np.int64)
         self.w_out = None
         self.f_out = None
+
+    def _phys(self, row):
+        """Physical float-array index of a (non-leaf) row in two-tier mode."""
+        return row - self.n_seqs if self.two_tier else row
 
     def up_row(self, node: int) -> int:
         """Row index of a node's up-profile slot."""
@@ -187,59 +285,81 @@ class MEProfiles:
 
     # -- out-profile ---------------------------------------------------------
     def recompute_outprofile(self, active_mask: np.ndarray) -> None:
-        if len(active_mask) < self.U.shape[0]:
-            full = np.zeros(self.U.shape[0], dtype=bool)
-            full[: len(active_mask)] = active_mask
-            active_mask = full
-        mask = jnp.asarray(active_mask)
-        self.w_out, self.f_out = _outprofile_full(
-            self.U, self.W, mask, self.code_freq, self.eigentot,
-            self.use_matrix, self.tol)
+        full = np.zeros(self.n_rows, dtype=bool)
+        full[: len(active_mask)] = active_mask
+        mask_leaf = jnp.asarray(full[: self.n_seqs])
+        n_int = self.U.shape[0]
+        mask_int = jnp.asarray(full[self.n_seqs: self.n_seqs + n_int]
+                               if self.two_tier else full[: n_int])
+        if self.two_tier:
+            self.w_out, self.f_out = _outprofile_full(
+                self.codes, self.W, self.U, mask_leaf, mask_int, self.n_seqs,
+                self.code_freq, self.eigentot, self.use_matrix, True, self.tol)
+        else:
+            self.w_out, self.f_out = _outprofile_full(
+                self.codes, self.W, self.U, mask_leaf,
+                jnp.asarray(full[self.n_seqs:]), self.n_seqs,
+                self.code_freq, self.eigentot, self.use_matrix, False, self.tol)
 
     def update_outprofile(self, i: int, j: int, newnode: int, n_active_old: int) -> None:
         self.w_out, self.f_out = _outprofile_update(
-            self.w_out, self.f_out, self.U, self.W, i, j, newnode,
-            n_active_old, self.code_freq, self.eigentot, self.use_matrix, self.tol)
+            self.w_out, self.f_out, self.codes, self.W, self.U, i, j, newnode,
+            n_active_old, self.n_seqs, self.code_freq, self.eigentot,
+            self.use_matrix, self.two_tier, self.tol)
 
     def out_query(self):
         """Out-profile as a (u, w) query for distance scans."""
         return self.w_out[:, None] * self.f_out, self.w_out
 
+    # -- row access ----------------------------------------------------------
+    def row_query(self, i: int):
+        """(u, w) of a single row (expanding leaves on the fly)."""
+        rows = jnp.asarray(np.array([i], dtype=np.int64))
+        _, w, u = _rows_cwu(self.codes, self.W, self.U, rows, self.code_freq,
+                            self.n_seqs, self.two_tier)
+        return u[0], w[0]
+
     # -- distance scans ------------------------------------------------------
     def dist_one_vs_all(self, i: int):
         from ..ops import pallas_kernels as pk
-        if pk._have_pallas_tpu() and self.U.shape[0] % pk.TILE_M == 0 \
-                and self.p_pad % 128 == 0:
+        uq, wq = self.row_query(i)
+        if (not self.two_tier and pk._have_pallas_tpu()
+                and self.U.shape[0] % pk.TILE_M == 0 and self.p_pad % 128 == 0):
             # fused Pallas scan: one pass over HBM for dist+denom
             _, _, d, w, _ = pk.nj_scan(
-                self.U, self.W, self.U[i], self.W[i],
+                self.U, self.W, uq, wq,
                 jnp.zeros(self.U.shape[0], dtype=self.dtype), 3,
                 np.asarray(self.eigenval) if self.use_matrix else None)
         else:
-            d, w = _dist_many(self.U, self.W, self.U[i], self.W[i],
-                              self.eigenval, self.use_matrix, _accum_dtype())
+            d, w = _dist_all(self.codes, self.W, self.U, uq, wq, self.n_seqs,
+                             self.eigenval, self.code_freq, self.use_matrix,
+                             self.two_tier, _accum_dtype())
         return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
+        uq, wq = self.row_query(i)
         jpad, n = _pad_pow2(np.asarray(js, dtype=np.int64))
-        d, w = _dist_gather(self.U, self.W, jnp.asarray(jpad), self.U[i],
-                            self.W[i], self.eigenval, self.use_matrix,
-                            _accum_dtype())
+        d, w = _dist_gather(self.codes, self.W, self.U, jnp.asarray(jpad), uq,
+                            wq, self.n_seqs, self.eigenval, self.code_freq,
+                            self.use_matrix, self.two_tier, _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     def dist_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
-        d, w = _dist_rows(self.U, self.W, jnp.asarray(ipad), jnp.asarray(jpad),
-                          self.eigenval, self.use_matrix, _accum_dtype())
+        d, w = _dist_rows(self.codes, self.W, self.U, jnp.asarray(ipad),
+                          jnp.asarray(jpad), self.n_seqs, self.eigenval,
+                          self.code_freq, self.use_matrix, self.two_tier,
+                          _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     def dist_pieces_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         """[K, n_pos] weighted distance pieces + weights for bootstrap resampling."""
         ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
-        p, w = _dist_pieces(self.U, self.W, jnp.asarray(ipad), jnp.asarray(jpad),
-                            self.eigenval, self.use_matrix)
+        p, w = _dist_pieces(self.codes, self.W, self.U, jnp.asarray(ipad),
+                            jnp.asarray(jpad), self.n_seqs, self.eigenval,
+                            self.code_freq, self.use_matrix, self.two_tier)
         return (np.asarray(p, dtype=np.float64)[:n, : self.n_pos],
                 np.asarray(w, dtype=np.float64)[:n, : self.n_pos])
 
@@ -247,26 +367,31 @@ class MEProfiles:
         """profileDist(node, outprofile) for a set of nodes -> (dist, weight)."""
         uq, wq = self.out_query()
         ipad, n = _pad_pow2(np.asarray(idx, dtype=np.int64))
-        d, w = _dist_gather(self.U, self.W, jnp.asarray(ipad), uq, wq,
-                            self.eigenval, self.use_matrix, _accum_dtype())
+        d, w = _dist_gather(self.codes, self.W, self.U, jnp.asarray(ipad), uq,
+                            wq, self.n_seqs, self.eigenval, self.code_freq,
+                            self.use_matrix, self.two_tier, _accum_dtype())
         return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
 
     # -- profile construction ------------------------------------------------
     def join(self, i: int, j: int, newnode: int, bionj_weight: float):
         """averageProfile into newnode; returns (selfdist, selfweight) of it."""
         bw = 0.5 if bionj_weight < 0 else bionj_weight
-        self.codes, self.W, self.U, _, _ = _join_update(
-            self.codes, self.W, self.U, i, j, newnode, self.dtype(bw),
-            self.code_freq, self.eigenval, self.eigentot, self.use_matrix, self.tol)
+        assert newnode >= self.n_seqs
+        self.codes, self.W, self.U = _join_update(
+            self.codes, self.W, self.U, i, j, newnode, self._phys(newnode),
+            self.dtype(bw), self.n_seqs, self.code_freq, self.eigenval,
+            self.eigentot, self.use_matrix, self.two_tier, self.tol)
         # self-distance with double accumulation (ref profileDist)
         d, wt = self.dist_pairs([newnode], [newnode])
         return float(d[0]), float(wt[0])
 
     def set_from_average(self, node: int, i: int, j: int, bionj_weight: float) -> None:
         bw = 0.5 if bionj_weight < 0 else bionj_weight
-        self.codes, self.W, self.U, _, _ = _join_update(
-            self.codes, self.W, self.U, i, j, node, self.dtype(bw),
-            self.code_freq, self.eigenval, self.eigentot, self.use_matrix, self.tol)
+        assert node >= self.n_seqs
+        self.codes, self.W, self.U = _join_update(
+            self.codes, self.W, self.U, i, j, node, self._phys(node),
+            self.dtype(bw), self.n_seqs, self.code_freq, self.eigenval,
+            self.eigentot, self.use_matrix, self.two_tier, self.tol)
 
     def average_rows_batch(self, iis, jjs, bws):
         """Batched averageProfile for a level of independent nodes."""
@@ -275,12 +400,16 @@ class MEProfiles:
         bpad = np.full(len(ipad), 0.5, dtype=self.dtype)
         bpad[:n] = np.asarray(bws, dtype=self.dtype)
         c, w, u = _avg_rows(self.codes, self.W, self.U, jnp.asarray(ipad),
-                            jnp.asarray(jpad), jnp.asarray(bpad), self.code_freq,
-                            self.eigenval, self.eigentot, self.use_matrix, self.tol)
+                            jnp.asarray(jpad), jnp.asarray(bpad), self.n_seqs,
+                            self.code_freq, self.eigenval, self.eigentot,
+                            self.use_matrix, self.two_tier, self.tol)
         return c[:n], w[:n], u[:n]
 
     def scatter_rows(self, nodes, c, w, u) -> None:
-        nodes = jnp.asarray(np.asarray(nodes, dtype=np.int64))
-        self.codes = self.codes.at[nodes].set(c)
-        self.W = self.W.at[nodes].set(w)
-        self.U = self.U.at[nodes].set(u)
+        nodes = np.asarray(nodes, dtype=np.int64)
+        assert (nodes >= self.n_seqs).all()
+        rows = jnp.asarray(nodes)
+        phys = jnp.asarray(nodes - self.n_seqs if self.two_tier else nodes)
+        self.codes = self.codes.at[rows].set(c)
+        self.W = self.W.at[phys].set(w)
+        self.U = self.U.at[phys].set(u)

@@ -306,3 +306,53 @@ def p_same_diff(length, rates):
     psame = 0.25 + 0.75 * jnp.exp((-4.0 / 3.0) * jnp.abs(length * rates))
     pdiff = (1.0 - psame) / 3.0
     return psame, pdiff
+
+
+# ---------------------------------------------------------------------------
+# Two-tier profile support: leaves live as int8 codes only (the reference's
+# leaf fast path, ref seqDist tcc:1601-1624 / sparse Profile encoding); their
+# one-hot/rotated vectors are expanded on the fly, never stored in HBM.
+# HBM traffic for leaf scans drops ~16x (1 byte/position vs C floats).
+# ---------------------------------------------------------------------------
+
+
+def leaf_u(codes_rows, code_freq, dtype):
+    """Expand leaf code rows [K, P] -> (U [K, P, C], W [K, P]).
+
+    U = weight * rotated one-hot; gap (NOCODE) positions get weight 0."""
+    from ..constants import NOCODE as _NOCODE
+    valid = codes_rows != _NOCODE
+    safe = jnp.where(valid, codes_rows, 0).astype(jnp.int32)
+    W = valid.astype(dtype)
+    U = code_freq[safe] * W[..., None]
+    return U, W
+
+
+def me_dist_many_codes(leaf_codes, uq, wq, eigenval, code_freq, dtype):
+    """One query vs many code-only leaves, without materializing leaf vectors
+    in HBM: piece sums become per-position gathers from the projected query.
+
+      matrix:  top[l] = sum_p w_l,p * (uq_p . (eigenval*codeFreq[c_l,p]))
+                      = sum_p w_l,p * G[p, c_l,p],  G = (uq * eigenval) @ codeFreq^T
+      plain:   top[l] = denom[l] - sum_p w_l,p * uq[p, c_l,p]
+    """
+    from ..constants import NOCODE as _NOCODE
+    valid = leaf_codes != _NOCODE
+    safe = jnp.where(valid, leaf_codes, 0).astype(jnp.int32)
+    wl = valid.astype(dtype)
+    denom = wl @ wq
+    if eigenval is not None:
+        G = (uq * eigenval[None, :]) @ code_freq.T      # [P, nCodes]
+    else:
+        G = uq                                           # one-hot table = identity
+    # gather-free per-position pick: C masked passes over [L, P] (VPU-friendly)
+    picked = jnp.zeros(leaf_codes.shape, dtype=dtype)
+    for c in range(G.shape[1]):
+        picked = picked + jnp.where(safe == c, G[:, c][None, :], 0.0)
+    contrib = jnp.einsum("lp,p->l", picked * wl, wq)
+    if eigenval is not None:
+        top = contrib
+    else:
+        top = denom - contrib
+    dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
+    return dist, denom
