@@ -65,6 +65,30 @@ def test_gzip_input(tmp_path):
 
 
 @pytest.mark.skipif(not have_oracle(), reason="oracle not built")
+def test_makematrix_duplicates(tmp_path):
+    """-makematrix must print the FULL matrix (all sequences, not uniquified)
+    even when the file-input native fast path is available and the alignment
+    has duplicate sequences (ref printDistances runs pre-Uniquify,
+    VeryFastTreeImpl.tcc:66-73)."""
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    seqs = simulate_alignment(12, 80, seed=3)
+    seqs = seqs + seqs[:4]  # duplicates
+    fasta = str(tmp_path / "m.fasta")
+    write_fasta(fasta, seqs)
+    opts = _opts(n_codes=4, make_matrix=True, show_progress=False,
+                 in_file_name=fasta)
+    out = io.StringIO()
+    with open(fasta) as f:
+        run_pipeline(opts, f, out)
+    ours = out.getvalue().strip().splitlines()
+    ref, _ = run_oracle(["-nt", "-makematrix"], fasta)
+    ref_lines = ref.strip().splitlines()
+    assert len(ours) == len(seqs)
+    assert ours == ref_lines
+
+
+@pytest.mark.skipif(not have_oracle(), reason="oracle not built")
 def test_intree_restart(tmp_path):
     """Tree-as-checkpoint: feed our own NJ tree back via -intree and refine;
     reference does the same (ref main.cpp:125-128)."""

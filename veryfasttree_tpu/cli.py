@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
       help="devices along the alignment-position axis (default: all)")
     a("-mesh-dp", type=int, default=1, metavar="n",
       help="devices along the candidate/data axis")
+    a("-two-tier-min", type=int, default=20000, metavar="n",
+      help="store leaves as int8 codes only (16x HBM cut) at >= n unique "
+           "sequences; 0 forces two-tier, -1 disables it")
     return p
 
 
@@ -204,6 +207,7 @@ def args_to_options(ns) -> Options:
     opts.relative_progress = getattr(ns, "relative_progress")
     opts.mesh_sp = getattr(ns, "mesh_sp")
     opts.mesh_dp = getattr(ns, "mesh_dp")
+    opts.two_tier_min = getattr(ns, "two_tier_min")
     return opts
 
 

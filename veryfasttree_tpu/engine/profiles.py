@@ -241,7 +241,8 @@ class MEProfiles:
         self.dtype = dtype
         self.tol = float(options.f_post_total_tolerance)
         if two_tier is None:
-            two_tier = n_seqs >= getattr(options, "two_tier_min", 20000)
+            tt_min = getattr(options, "two_tier_min", 20000)
+            two_tier = tt_min >= 0 and n_seqs >= tt_min
         self.two_tier = bool(two_tier)
 
         if self.use_matrix:

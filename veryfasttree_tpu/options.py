@@ -105,6 +105,10 @@ class Options:
     mesh_dp: int = 1
     # Pad positions up to a multiple of this for MXU-friendly tiles.
     position_align: int = 128
+    # Leaf storage tier: at >= this many unique sequences, leaves live as int8
+    # codes only (expanded on the fly in kernels; the 1M-taxa HBM enabler).
+    # 0 forces two-tier on, -1 (or a huge value) disables it.
+    two_tier_min: int = 20000
 
     def derive_settings(self, log=None) -> "Options":
         """Normalize option interactions (ref src/VeryFastTree.cpp:46-260)."""

@@ -147,7 +147,9 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
     options.debug = Debug()
 
     native_read = None
-    if not options.constraints_file:
+    # -makematrix needs per-sequence (not uniquified) codes, so it takes the
+    # Python read path; the native path returns the unique code matrix only.
+    if not options.constraints_file and not options.make_matrix:
         native_read = _try_native_read(options)
     aln = None
     if native_read is not None:
@@ -172,8 +174,7 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         # print the pairwise (log-corrected) distance matrix and stop
         # (ref printDistances NeighbourJoining.tcc:274-288)
         dmat, _ = build_models(options)
-        all_codes = (codes if native_read is not None
-                     else seqs_to_codes(aln.seqs, options, log))
+        all_codes = seqs_to_codes(aln.seqs, options, log)
         mm = NeighbourJoining(options, all_codes, dmat, None)
         _print_distances(mm, names, output_fp)
         return mm, None
