@@ -28,6 +28,12 @@ from .profiles import MEProfiles
 from .state import TreeState
 
 
+# A/B switch for the fused one-dispatch join (engine/fused.py); the unfused
+# multi-dispatch path is kept for the out-profile-reset iterations and as a
+# reference implementation (flip to False to bisect numerical differences).
+USE_FUSED_JOIN = True
+
+
 @dataclass
 class Besthit:
     i: int = -1
@@ -75,6 +81,7 @@ class NeighbourJoining:
 
         self.out_distances = np.zeros(self.maxnodes)
         self.n_out_dist_active = np.full(self.maxnodes, n_seqs * 10, dtype=np.int64)
+        self.join_log: list = []  # (i, j) per join, for join-order parity tests
 
         self.prof.recompute_outprofile(self._leaf_mask())
         if self.n_cons:
@@ -133,15 +140,10 @@ class NeighbourJoining:
                          for i, j in zip(iis, jjs)], dtype=np.float64)
 
     # ------------------------------------------------------- out-distances
-    def set_out_distance(self, idx: np.ndarray, n_active: int, force=False) -> None:
-        """Batched setOutDistance (ref tcc:1012-1083)."""
-        idx = np.asarray(idx, dtype=np.int64)
-        if not force:
-            idx = idx[self.n_out_dist_active[idx] != n_active]
-        if len(idx) == 0:
-            return
-        dist, weight = self.prof.dist_set_vs_out(idx)
-        self.debug.outprofile_ops += len(idx)
+    def apply_out_refresh(self, idx: np.ndarray, dist: np.ndarray,
+                          weight: np.ndarray, n_active: int) -> None:
+        """Turn raw (dist, weight) vs the out-profile into fresh out-distances
+        (the host half of setOutDistance, ref tcc:1012-1083)."""
         top = (n_active - 1) * (dist * weight * n_active
                                 - self.selfweight[idx] * self.selfdist[idx])
         bottom = weight * n_active - self.selfweight[idx]
@@ -151,6 +153,17 @@ class NeighbourJoining:
                       - (self.totdiam - self.diameter[idx]), 3.0)
         self.out_distances[idx] = od
         self.n_out_dist_active[idx] = n_active
+
+    def set_out_distance(self, idx: np.ndarray, n_active: int, force=False) -> None:
+        """Batched setOutDistance (ref tcc:1012-1083)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        if not force:
+            idx = idx[self.n_out_dist_active[idx] != n_active]
+        if len(idx) == 0:
+            return
+        dist, weight = self.prof.dist_set_vs_out(idx)
+        self.debug.outprofile_ops += len(idx)
+        self.apply_out_refresh(idx, dist, weight, n_active)
 
     def set_criterion_batch(self, n_active: int, iis, jjs, dists) -> np.ndarray:
         """Batched setCriterion (ref tcc:1085-1113): refresh stale out-distances
@@ -172,12 +185,34 @@ class NeighbourJoining:
 
         return np.asarray(dists) - (scaled_out(iis) + scaled_out(jjs)) / (n_active - 2)
 
-    def set_dist_criterion_batch(self, n_active: int, iis, jjs):
+    def set_dist_criterion_batch(self, n_active: int, iis, jjs,
+                                 refresh_neq=None, stale_extra=None):
         """Batched setDistCriterion (ref tcc:1115-1124): raw distance minus
-        diameters plus constraint penalty, then criterion."""
+        diameters plus constraint penalty, then criterion.
+
+        The out-distance refreshes implied by the criterion (the staleOutLimit
+        rule over iis/jjs/stale_extra, plus the unconditional-if-not-current
+        rule over refresh_neq, matching a preceding setOutDistance call) are
+        fused into the same device dispatch -- one blocking fetch total."""
         iis = np.asarray(iis, dtype=np.int64)
         jjs = np.asarray(jjs, dtype=np.int64)
-        dist, weight = self.prof.dist_pairs(iis, jjs)
+        n_diff_allow = int(n_active * self.options.stale_out_limit) \
+            if self.options.tophits_mult > 0 else 0
+        nodes = np.concatenate([iis, jjs] if stale_extra is None else
+                               [iis, jjs, np.asarray(stale_extra, dtype=np.int64)])
+        refresh = nodes[self.n_out_dist_active[nodes] - n_active > n_diff_allow]
+        if refresh_neq is not None:
+            rn = np.asarray(refresh_neq, dtype=np.int64)
+            rn = rn[self.n_out_dist_active[rn] != n_active]
+            refresh = np.concatenate([refresh, rn])
+        if len(refresh):
+            refresh = np.unique(refresh)
+            d_out, w_o, dist, weight = self.prof.refresh_and_pairs(
+                refresh, iis, jjs)
+            self.debug.outprofile_ops += len(refresh)
+            self.apply_out_refresh(refresh, d_out, w_o, n_active)
+        else:
+            dist, weight = self.prof.dist_pairs(iis, jjs)
         leafpair = (iis < self.n_seqs) & (jjs < self.n_seqs)
         self.debug.seq_ops += int(leafpair.sum())
         self.debug.profile_ops += int((~leafpair).sum())
@@ -191,6 +226,32 @@ class NeighbourJoining:
     def set_dist_criterion(self, n_active: int, hit: Besthit) -> None:
         d, w, c = self.set_dist_criterion_batch(n_active, [hit.i], [hit.j])
         hit.dist, hit.weight, hit.criterion = float(d[0]), float(w[0]), float(c[0])
+
+    def criterion_from_raw(self, n_active: int, i_node: int, jjs: np.ndarray,
+                           d_raw, w_raw, dout, wout):
+        """setDistCriterion from prefetched raw distances: the host half of
+        set_dist_criterion_batch when the device work already happened inside
+        a fused join call.  dout/wout are the candidates' raw distances vs the
+        current out-profile (used for the staleOutLimit refreshes)."""
+        jjs = np.asarray(jjs, dtype=np.int64)
+        n_diff_allow = int(n_active * self.options.stale_out_limit) \
+            if self.options.tophits_mult > 0 else 0
+        stale = self.n_out_dist_active[jjs] - n_active > n_diff_allow
+        if stale.any():
+            self.apply_out_refresh(jjs[stale], np.asarray(dout)[stale],
+                                   np.asarray(wout)[stale], n_active)
+            self.debug.outprofile_ops += int(stale.sum())
+        leafpair = (i_node < self.n_seqs) & (jjs < self.n_seqs)
+        self.debug.seq_ops += int(leafpair.sum())
+        self.debug.profile_ops += int((~leafpair).sum())
+        weight = np.where(np.asarray(w_raw) > 0, w_raw, 0.01)
+        dist = np.asarray(d_raw) - (self.diameter[i_node] + self.diameter[jjs])
+        if self.n_cons:
+            dist = dist + self.options.constraint_weight * self.join_penalties_batch(
+                np.full(len(jjs), i_node), jjs)
+        iis = np.full(len(jjs), i_node, dtype=np.int64)
+        crit = self.set_criterion_batch(n_active, iis, jjs, dist)
+        return dist, weight, crit
 
     # ------------------------------------------------------------- best hits
     def set_best_hit(self, node: int, n_active: int, want_all: bool = False):
@@ -323,15 +384,35 @@ class NeighbourJoining:
                 join = tophits.search(self, n_active)
             else:
                 join = self.fast_search(n_active, visible)
-
-            # ensure fresh out-distances + criterion for the chosen join
-            self.set_out_distance(np.array([join.i, join.j]), n_active)
-            self.set_dist_criterion(n_active, join)
+            self.join_log.append((join.i, join.j))
 
             newnode = tree.maxnode
             tree.maxnode += 1
             lo, hi = min(join.i, join.j), max(join.i, join.j)
             tree.set_children(newnode, [lo, hi])
+
+            # out-profile policy for this iteration (ref tcc:3012-3037) --
+            # known before any device work
+            changed = n_active_out_profile_reset - (n_active - 1)
+            do_reset = (changed >= opts.n_reset_out_profile
+                        and changed >= opts.f_reset_out_profile
+                        * n_active_out_profile_reset)
+
+            if m > 0 and not do_reset and USE_FUSED_JOIN:
+                # fused path: the whole join iteration (out-distance refresh,
+                # criterion, BIONJ, profile average, out-profile update, and
+                # the top-hits merge candidate scans) is ONE device dispatch
+                # with ONE blocking fetch (engine/fused.py)
+                from . import fused as fused_mod
+                plan = tophits.prepare_join_merge(self, newnode, n_active - 1)
+                res = fused_mod.join_step(self, join, n_active, newnode,
+                                          plan.cand if plan.b_use else None)
+                tophits.top_hit_join_fused(self, newnode, n_active - 1, plan, res)
+                continue
+
+            # ensure fresh out-distances + criterion for the chosen join
+            self.set_out_distance(np.array([join.i, join.j]), n_active)
+            self.set_dist_criterion(n_active, join)
 
             raw_ij = join.dist + self.diameter[join.i] + self.diameter[join.j]
             dist_ij = join.dist
@@ -379,9 +460,7 @@ class NeighbourJoining:
 
             # out-profile: periodic full recompute vs incremental update
             # (ref tcc:3012-3037)
-            changed = n_active_out_profile_reset - (n_active - 1)
-            if (changed >= opts.n_reset_out_profile
-                    and changed >= opts.f_reset_out_profile * n_active_out_profile_reset):
+            if do_reset:
                 active = self.active_mask()
                 self.totdiam = float(self.diameter[active].sum())
                 self.prof.recompute_outprofile(active)

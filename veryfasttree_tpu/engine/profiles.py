@@ -129,6 +129,32 @@ def _dist_rows(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
     return kernels.me_dist_rows(U1, W1, U2, W2, ev)
 
 
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
+def _refresh_and_pairs(codes, W, U, w_out, f_out, rrows, iis, jjs, n_seqs,
+                       eigenval, code_freq, use_matrix, two_tier, up=None):
+    """One dispatch serving the two device needs of a criterion evaluation:
+    raw distances of `rrows` vs the out-profile (out-distance refresh) AND
+    row-pair distances (iis, jjs).  Packed as one vector so the host pays a
+    single blocking fetch (ref setOutDistance tcc:1012-1083 + setDistCriterion
+    tcc:1115-1124 fused)."""
+    ev = eigenval if use_matrix else None
+
+    def f(x):
+        return x.astype(up) if up is not None else x
+
+    ev_up = f(ev) if ev is not None else None
+    uq = f(w_out[:, None] * f_out)
+    wq = f(w_out)
+    _, Wr, Ur = _rows_cwu(codes, W, U, rrows, code_freq, n_seqs, two_tier)
+    d_out, w_o = kernels.me_dist_many(f(Ur), f(Wr), uq, wq, ev_up)
+    _, W1, U1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
+    _, W2, U2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
+    d_p, w_p = kernels.me_dist_rows(f(U1), f(W1), f(U2), f(W2), ev_up)
+    cd = up if up is not None else W.dtype
+    return jnp.concatenate([d_out.astype(cd), w_o.astype(cd),
+                            d_p.astype(cd), w_p.astype(cd)])
+
+
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier"))
 def _dist_pieces(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
                  use_matrix, two_tier):
@@ -363,6 +389,23 @@ class MEProfiles:
                             self.code_freq, self.use_matrix, self.two_tier)
         return (np.asarray(p, dtype=np.float64)[:n, : self.n_pos],
                 np.asarray(w, dtype=np.float64)[:n, : self.n_pos])
+
+    def refresh_and_pairs(self, rrows: np.ndarray, iis: np.ndarray,
+                          jjs: np.ndarray):
+        """Fused out-profile scan of `rrows` + pair distances of (iis, jjs):
+        one dispatch, one fetch.  Returns (d_out, w_out_, d_pair, w_pair)."""
+        rpad, n_r = _pad_pow2(np.asarray(rrows, dtype=np.int64))
+        ipad, n_k = _pad_pow2(np.asarray(iis, dtype=np.int64))
+        jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
+        out = _refresh_and_pairs(
+            self.codes, self.W, self.U, self.w_out, self.f_out,
+            jnp.asarray(rpad), jnp.asarray(ipad), jnp.asarray(jpad),
+            self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
+            self.two_tier, _accum_dtype())
+        out = np.asarray(out, dtype=np.float64)
+        R, K = len(rpad), len(ipad)
+        return (out[:n_r], out[R: R + n_r],
+                out[2 * R: 2 * R + n_k], out[2 * R + K: 2 * R + K + n_k])
 
     def dist_set_vs_out(self, idx: np.ndarray):
         """profileDist(node, outprofile) for a set of nodes -> (dist, weight)."""

@@ -299,24 +299,35 @@ class TopHits:
         return join
 
     def get_best_from_top_hits(self, nj, i_node: int, n_active: int) -> Besthit:
-        """ref getBestFromTopHits tcc:4267-4298 -- batched over the hit list."""
+        """ref getBestFromTopHits tcc:4267-4298 -- batched over the hit list.
+
+        All device work of this call (i_node's out-distance refresh, the
+        changed-ancestor pair distances, and the staleOutLimit refreshes of the
+        valid ancestors) is fused into at most ONE dispatch."""
         tree = nj.tree
         assert i_node >= 0 and tree.parent[i_node] < 0
-        if not self.options.fastest:
-            nj.set_out_distance(np.array([i_node]), n_active)
         js = self.hits_j[i_node]
         dists = self.hits_dist[i_node]
         anc = np.array([tree.active_ancestor(int(j)) for j in js])
         valid = (anc >= 0) & (anc != i_node)
         changed = valid & (anc != js)
-        # recompute changed pairs; unchanged keep stored dist
+        vidx = np.nonzero(valid)[0]
+        # recompute changed pairs; unchanged keep stored dist.  The fused call
+        # also refreshes i_node (setOutDistance semantics, non-forced) and any
+        # stale valid ancestors so the criterion below is pure host math.
         out_d = dists.copy()
         idx = np.nonzero(changed)[0]
+        refresh_neq = [i_node] if not self.options.fastest else None
         if len(idx):
             d, w, _ = nj.set_dist_criterion_batch(
-                n_active, np.full(len(idx), i_node), anc[idx])
+                n_active, np.full(len(idx), i_node), anc[idx],
+                refresh_neq=refresh_neq, stale_extra=anc[vidx])
             out_d[idx] = d
-        vidx = np.nonzero(valid)[0]
+        else:
+            # no changed pairs: refresh through a pairs-free dispatch only if
+            # anything actually needs it
+            if refresh_neq is not None:
+                nj.set_out_distance(np.array([i_node]), n_active)
         best = Besthit(i_node)
         if len(vidx):
             crit = nj.set_criterion_batch(n_active, np.full(len(vidx), i_node),
@@ -329,6 +340,95 @@ class TopHits:
         return best
 
     # ------------------------------------------------------------- join phase
+    def _unique_ancestors(self, nj, i_node: int, cand_js) -> np.ndarray:
+        """Host half of uniqueBestHits (ref tcc:4786-4833): remap candidates to
+        active ancestors, drop self/joined, dedupe."""
+        tree = nj.tree
+        anc = np.array([tree.active_ancestor(int(j)) for j in cand_js],
+                       dtype=np.int64)
+        anc = anc[(anc >= 0) & (anc != i_node)]
+        return np.unique(anc)
+
+    def prepare_join_merge(self, nj, newnode: int, n_active: int):
+        """All host-side decisions of topHitJoin (ref tcc:4306-4434) made
+        BEFORE any device work: the merged candidate list, whether the merged
+        list is usable (b_use) or a full refresh is needed, and the 2nd-level
+        promotion.  The candidate distances are then evaluated inside the
+        fused join dispatch."""
+        opts = self.options
+        tree = nj.tree
+        m, q = self.m, self.q
+        c0 = int(tree.children[newnode, 0])
+        c1 = int(tree.children[newnode, 1])
+        combined = np.concatenate([self.hits_j[c0], self.hits_j[c1]])
+        cand = self._unique_ancestors(nj, newnode, combined)
+        n_unique = len(cand)
+
+        age_new = (self.age[c0] + self.age[c1] + 1) // 2 + 1
+        age_limit = max(1, int(0.5 + math.log2(m)))
+        b_second = self.hit_source[c0] >= 0 and self.hit_source[c1] >= 0
+        b_use = n_unique == n_active - 1 or (
+            age_new <= age_limit
+            and n_unique >= (int(0.5 + opts.tophits2_refresh * q) if b_second
+                             else int(0.5 + m * opts.tophits_refresh)))
+
+        if not b_use and b_second and age_new <= age_limit:
+            # promote 2nd-level to 1st-level from the hit source (ref :4369-4418)
+            source = tree.active_ancestor(int(self.hit_source[c0]))
+            if source == newnode:
+                source = tree.active_ancestor(int(self.hit_source[c1]))
+            if (source != newnode and source >= 0
+                    and self.hit_source[source] < 0
+                    and self.hits_j[source] is not None):
+                merged = np.concatenate([cand, [source], self.hits_j[source]])
+                cand = self._unique_ancestors(nj, newnode, merged)
+                n_unique = len(cand)
+                b_use = n_unique >= int(0.5 + m * opts.tophits_refresh)
+                b_second = False
+
+        class Plan:
+            pass
+
+        plan = Plan()
+        plan.c0, plan.c1 = c0, c1
+        plan.cand = cand
+        plan.b_use = b_use
+        plan.b_second = b_second
+        plan.age_new = age_new
+        return plan
+
+    def top_hit_join_fused(self, nj, newnode: int, n_active: int, plan,
+                           res: dict) -> None:
+        """Apply topHitJoin bookkeeping from the fused join's prefetched
+        candidate distances (res['cand_*'] ordered like plan.cand)."""
+        opts = self.options
+        m, q = self.m, self.q
+        self.hits_j[plan.c0] = self.hits_j[plan.c1] = None
+        self.hits_dist[plan.c0] = self.hits_dist[plan.c1] = None
+        self.age[newnode] = plan.age_new
+
+        if plan.b_use:
+            unique_j = plan.cand
+            unique_d, unique_w, unique_c = nj.criterion_from_raw(
+                n_active, newnode, unique_j, res["cand_dist_raw"],
+                res["cand_weight"], res["cand_dout"], res["cand_wout"])
+            if plan.b_second:
+                self.hit_source[newnode] = self.hit_source[plan.c0]
+            n_save = min(len(unique_j), q if plan.b_second else m)
+            order = np.argsort(unique_c, kind="stable")
+            self._sort_save(nj, newnode, unique_j[order], unique_d[order], None,
+                            n_save, presorted=True)
+            self.visible_j[newnode] = self.hits_j[newnode][0]
+            self.visible_dist[newnode] = self.hits_dist[newnode][0]
+            self.update_top_visible(nj, n_active, newnode,
+                                    int(self.visible_j[newnode]),
+                                    float(self.visible_dist[newnode]))
+            keep = order[:n_save]
+            self.update_visible(nj, n_active, newnode, unique_j[keep],
+                                unique_d[keep], unique_c[keep])
+        else:
+            self._refresh_node(nj, newnode, n_active)
+
     def top_hit_join(self, nj, newnode: int, n_active: int) -> None:
         """ref topHitJoin tcc:4306-4533."""
         opts = self.options
@@ -381,43 +481,50 @@ class TopHits:
             self.update_visible(nj, n_active, newnode, unique_j[keep],
                                 unique_d[keep], unique_c[keep])
         else:
-            # refresh (ref :4438-4517)
-            nj.debug.n_refresh_tophits += 1
-            self.age[newnode] = 0
-            active = np.nonzero(nj.active_mask()[: tree.maxnode])[0]
-            if opts.fastest:
-                nj.set_criterion_batch(n_active, active, active,
-                                       np.zeros(len(active)))
-            else:
-                nj.set_out_distance(active, n_active)
-            _, all_ = nj.set_best_hit(newnode, n_active, want_all=True)
-            dist, weight, crit = all_
-            order = np.argsort(crit, kind="stable")
-            self._sort_save(nj, newnode, order, dist[order], None, m,
-                            presorted=True)
-            self.visible_j[newnode] = self.hits_j[newnode][0]
-            self.visible_dist[newnode] = self.hits_dist[newnode][0]
+            self._refresh_node(nj, newnode, n_active)
 
-            # expand the lists of the new node's top m hits (ref :4477-4515)
-            top_js = self.hits_j[newnode][:m]
-            for j_node in top_js:
-                j_node = int(j_node)
-                if tree.parent[j_node] >= 0 or self.hits_j[j_node] is None:
-                    continue
-                self.age[j_node] = 0
-                if n_active <= 2 * m:
-                    self.hit_source[j_node] = -1
-                n_new = q if self.hit_source[j_node] >= 0 else m
-                both = np.concatenate([self.hits_j[j_node],
-                                       [newnode],
-                                       self.hits_j[newnode][: 2 * n_new]])
-                uj, ud, uc = self._unique_best_hits(nj, j_node, both, n_active)
-                order2 = np.argsort(uc, kind="stable")
-                self._sort_save(nj, j_node, uj[order2], ud[order2], None, n_new,
-                                presorted=True)
-                self.visible_j[j_node] = self.hits_j[j_node][0]
-                self.visible_dist[j_node] = self.hits_dist[j_node][0]
-            self.reset_top_visible(nj, n_active)
+    def _refresh_node(self, nj, newnode: int, n_active: int) -> None:
+        """Full refresh of a node's top-hit list (ref topHitJoin :4438-4517):
+        one-vs-all scan + neighbor list expansion + topvisible reset."""
+        opts = self.options
+        tree = nj.tree
+        m, q = self.m, self.q
+        nj.debug.n_refresh_tophits += 1
+        self.age[newnode] = 0
+        active = np.nonzero(nj.active_mask()[: tree.maxnode])[0]
+        if opts.fastest:
+            nj.set_criterion_batch(n_active, active, active,
+                                   np.zeros(len(active)))
+        else:
+            nj.set_out_distance(active, n_active)
+        _, all_ = nj.set_best_hit(newnode, n_active, want_all=True)
+        dist, weight, crit = all_
+        order = np.argsort(crit, kind="stable")
+        self._sort_save(nj, newnode, order, dist[order], None, m,
+                        presorted=True)
+        self.visible_j[newnode] = self.hits_j[newnode][0]
+        self.visible_dist[newnode] = self.hits_dist[newnode][0]
+
+        # expand the lists of the new node's top m hits (ref :4477-4515)
+        top_js = self.hits_j[newnode][:m]
+        for j_node in top_js:
+            j_node = int(j_node)
+            if tree.parent[j_node] >= 0 or self.hits_j[j_node] is None:
+                continue
+            self.age[j_node] = 0
+            if n_active <= 2 * m:
+                self.hit_source[j_node] = -1
+            n_new = q if self.hit_source[j_node] >= 0 else m
+            both = np.concatenate([self.hits_j[j_node],
+                                   [newnode],
+                                   self.hits_j[newnode][: 2 * n_new]])
+            uj, ud, uc = self._unique_best_hits(nj, j_node, both, n_active)
+            order2 = np.argsort(uc, kind="stable")
+            self._sort_save(nj, j_node, uj[order2], ud[order2], None, n_new,
+                            presorted=True)
+            self.visible_j[j_node] = self.hits_j[j_node][0]
+            self.visible_dist[j_node] = self.hits_dist[j_node][0]
+        self.reset_top_visible(nj, n_active)
 
     def _unique_best_hits(self, nj, i_node: int, cand_js, n_active: int):
         """uniqueBestHits (ref tcc:4786-4833): remap to active ancestors, dedupe,
