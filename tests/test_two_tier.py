@@ -44,6 +44,28 @@ def test_scan_equivalence(n_codes):
     assert np.allclose(p1, p2, atol=1e-9)
 
 
+@pytest.mark.parametrize("n_codes", [4, 20])
+def test_scan_equivalence_fractional_query(n_codes):
+    """One-vs-all with an INTERNAL (fractional-weight) query row: regression
+    for the me_dist_many_codes double-weighting bug (the two-tier leaf scan
+    multiplied the query weight in twice, which cancels only for binary leaf
+    weights)."""
+    opts, codes = _codes(n_codes=n_codes)
+    from veryfasttree_tpu.models.distance_matrix import DistanceMatrix
+
+    dmat = DistanceMatrix.blosum45() if n_codes == 20 else None
+    dense = MEProfiles(codes, opts, dmat, 2 * len(codes), two_tier=False)
+    tiered = MEProfiles(codes, opts, dmat, 2 * len(codes), two_tier=True)
+    node = len(codes)  # first internal row: average of two gappy leaves
+    dense.set_from_average(node, 0, 1, -1.0)
+    tiered.set_from_average(node, 0, 1, -1.0)
+    d1, w1 = dense.dist_one_vs_all(node)
+    d2, w2 = tiered.dist_one_vs_all(node)
+    n = len(codes) + 1
+    assert np.allclose(d1[:n], d2[:n], atol=1e-6)
+    assert np.allclose(w1[:n], w2[:n], atol=1e-6)
+
+
 def test_full_noml_pipeline_equivalence(tmp_path):
     """End-to-end: two-tier NJ produces the identical tree."""
     seqs = simulate_alignment(40, 250, seed=57)

@@ -346,10 +346,12 @@ def me_dist_many_codes(leaf_codes, uq, wq, eigenval, code_freq, dtype):
     else:
         G = uq                                           # one-hot table = identity
     # gather-free per-position pick: C masked passes over [L, P] (VPU-friendly)
+    # (picked already carries the query's weight through uq = wq * fq, so the
+    # position sum must NOT multiply by wq again)
     picked = jnp.zeros(leaf_codes.shape, dtype=dtype)
     for c in range(G.shape[1]):
         picked = picked + jnp.where(safe == c, G[:, c][None, :], 0.0)
-    contrib = jnp.einsum("lp,p->l", picked * wl, wq)
+    contrib = jnp.einsum("lp->l", picked * wl)
     if eigenval is not None:
         top = contrib
     else:
