@@ -28,5 +28,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if not os.path.exists(os.path.join(_REPO, "native", "libvft_native.so")):
     import subprocess
 
-    subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
-                   check=False, capture_output=True)
+    _res = subprocess.run(["make", "-C", os.path.join(_REPO, "native")],
+                          check=False, capture_output=True, text=True)
+    if _res.returncode != 0:
+        # make the skip visible instead of silent (tests/test_native.py would
+        # otherwise quietly skip on a broken build)
+        print("WARNING: native lib build failed; test_native will skip:\n"
+              + _res.stderr, file=sys.stderr)

@@ -74,6 +74,25 @@ def test_noml_bootstrap_supports_identical(tmp_path):
     assert nw_ref == nw_ours
 
 
+def test_fused_vs_unfused_join_identical(tmp_path, monkeypatch):
+    """The fused one-dispatch join (engine/fused.py) and the unfused
+    multi-dispatch reference path duplicate the BIONJ / out-distance /
+    criterion math; this A/B guard catches divergence without the oracle."""
+    seqs = simulate_alignment(60, 250, seed=23)
+    fasta = str(tmp_path / "t.fasta")
+    write_fasta(fasta, seqs)
+
+    from veryfasttree_tpu.engine import nj as nj_mod
+
+    results = {}
+    for fused in (True, False):
+        monkeypatch.setattr(nj_mod, "USE_FUSED_JOIN", fused)
+        nw, nj, _ = _run_ours(fasta, n_codes=4, ml_nni=0, n_bootstrap=0)
+        results[fused] = (nw, list(nj.join_log))
+    assert results[True][1] == results[False][1]  # identical join order
+    assert results[True][0] == results[False][0]  # identical Newick
+
+
 def test_protein_blosum45_noml(tmp_path):
     seqs = simulate_alignment(20, 150, alphabet="ARNDCQEGHILKMFPSTWYV", seed=5)
     fasta = str(tmp_path / "t.fasta")

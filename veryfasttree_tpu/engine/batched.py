@@ -312,6 +312,7 @@ def update_branch_lengths_batched(nj) -> None:
     if not iis:
         return
     dist, weight = nj.prof.dist_pairs(np.array(iis), np.array(jjs))
+    dist = np.array(dist)  # dist_pairs may return a read-only device view
     nj.debug.profile_ops += len(iis)
     weight = np.where(weight > 0, weight, 0.01)
     if nj.options.pseudo_weight > 0:

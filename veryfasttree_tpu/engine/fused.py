@@ -51,11 +51,12 @@ N_SCAL_IN = len(_IN)
 @functools.partial(
     jax.jit,
     static_argnames=("n_seqs", "use_matrix", "two_tier", "tol", "bionj",
-                     "has_cand", "up"),
+                     "has_cand", "has_pref", "up"),
     donate_argnums=(0, 1, 2, 3, 4))
-def _fused_join(codes, W, U, w_out, f_out, idx, cand, scal,
+def _fused_join(codes, W, U, w_out, f_out, idx, cand, pref, scal,
                 n_seqs, code_freq, eigenval, eigentot,
-                use_matrix, two_tier, tol, bionj, has_cand, up=None):
+                use_matrix, two_tier, tol, bionj, has_cand, has_pref,
+                up=None):
     i, j, newnode, phys_new = idx[0], idx[1], idx[2], idx[3]
     s = {name: scal[k] for k, name in enumerate(_IN)}
     cd = up if up is not None else W.dtype
@@ -156,6 +157,7 @@ def _fused_join(codes, W, U, w_out, f_out, idx, cand, scal,
         d_self[0].astype(cd), w_self[0].astype(cd),
         d_n[0].astype(cd), w_n[0].astype(cd)])
 
+    parts = [out_scal]
     if has_cand:
         # merged top-hits candidates: pair dists vs the new profile and raw
         # distances vs the UPDATED out-profile (uniqueBestHits, tcc:4786-4833)
@@ -165,22 +167,31 @@ def _fused_join(codes, W, U, w_out, f_out, idx, cand, scal,
             f(jnp.broadcast_to(u_new, cug.shape)),
             f(jnp.broadcast_to(w_new, cwg.shape)), f(cug), f(cwg), ev_up)
         do_c, wo_c = kernels.me_dist_many(f(cug), f(cwg), uq2, wq2, ev_up)
-        out_vec = jnp.concatenate([
-            out_scal, d_c.astype(cd), w_c.astype(cd), do_c.astype(cd),
-            wo_c.astype(cd)])
-    else:
-        out_vec = out_scal
+        parts += [d_c.astype(cd), w_c.astype(cd), do_c.astype(cd),
+                  wo_c.astype(cd)]
+    if has_pref:
+        # prefetch: raw distances of the visible-set / top-visible working set
+        # vs the UPDATED out-profile, so the next search's staleness refreshes
+        # are host math from nj._out_raw instead of blocking dispatches
+        _, pwg, pug = _rows_cwu(codes, W, U, pref, code_freq, n_seqs, two_tier)
+        do_p, wo_p = kernels.me_dist_many(f(pug), f(pwg), uq2, wq2, ev_up)
+        parts += [do_p.astype(cd), wo_p.astype(cd)]
+    out_vec = jnp.concatenate(parts) if len(parts) > 1 else out_scal
 
     return codes, W, U, w_out2, f_out2, out_vec
 
 
-def join_step(nj, join, n_active: int, newnode: int, cand_js=None):
+def join_step(nj, join, n_active: int, newnode: int, cand_js=None,
+              prefetch=None):
     """Execute the fused join on device and apply all host bookkeeping.
 
     `cand_js` (or None) is the deduped, ancestor-remapped top-hits merge
-    candidate list.  Returns a dict with the join scalars plus, when
-    candidates were given, (cand_dist_raw, cand_weight, cand_dout, cand_wout)
-    arrays ordered like cand_js.
+    candidate list.  `prefetch` (or None) is a set of additional rows whose
+    raw out-profile distances are scanned in the same dispatch and cached
+    (nj.cache_out_raw) for host-only refreshes until the next out-profile
+    change.  Returns a dict with the join scalars plus, when candidates were
+    given, (cand_dist_raw, cand_weight, cand_dout, cand_wout) arrays ordered
+    like cand_js.
     """
     prof = nj.prof
     opts = nj.options
@@ -208,23 +219,40 @@ def join_step(nj, join, n_active: int, newnode: int, cand_js=None):
         cpad, n_c = _pad_pow2(np.asarray(cand_js, dtype=np.int64))
     else:
         cpad, n_c = np.zeros(1, dtype=np.int64), 0
+    has_pref = prefetch is not None and len(prefetch) > 0
+    if has_pref:
+        ppad, n_p = _pad_pow2(np.asarray(prefetch, dtype=np.int64))
+    else:
+        ppad, n_p = np.zeros(1, dtype=np.int64), 0
 
     prof.codes, prof.W, prof.U, prof.w_out, prof.f_out, out_vec = _fused_join(
         prof.codes, prof.W, prof.U, prof.w_out, prof.f_out,
-        jnp.asarray(idx), jnp.asarray(cpad), jnp.asarray(scal),
+        jnp.asarray(idx), jnp.asarray(cpad), jnp.asarray(ppad),
+        jnp.asarray(scal),
         prof.n_seqs, prof.code_freq, prof.eigenval, prof.eigentot,
         prof.use_matrix, prof.two_tier, prof.tol, bool(opts.bionj),
-        has_cand, up)
+        has_cand, has_pref, up)
+    prof.out_version += 1  # w_out/f_out replaced in the fused call
 
     out = np.asarray(out_vec, dtype=np.float64)  # the ONE blocking fetch
     res = {name: float(out[k]) for k, name in enumerate(_SCALARS)}
+    base = N_SCAL_OUT
     if has_cand:
         K = len(cpad)
-        base = N_SCAL_OUT
         res["cand_dist_raw"] = out[base: base + n_c]
         res["cand_weight"] = out[base + K: base + K + n_c]
         res["cand_dout"] = out[base + 2 * K: base + 2 * K + n_c]
         res["cand_wout"] = out[base + 3 * K: base + 3 * K + n_c]
+        base += 4 * K
+    if has_pref:
+        Kp = len(ppad)
+        nj.cache_out_raw(np.asarray(prefetch, dtype=np.int64)[:n_p],
+                         out[base: base + n_p],
+                         out[base + Kp: base + Kp + n_p])
+    if has_cand:
+        # candidate raw out-profile scans double as cache entries
+        nj.cache_out_raw(np.asarray(cand_js, dtype=np.int64),
+                         res["cand_dout"], res["cand_wout"])
 
     # ---- host bookkeeping (identical to the unfused fast_nj body) ----------
     tree = nj.tree
@@ -261,4 +289,5 @@ def join_step(nj, join, n_active: int, newnode: int, cand_js=None):
     # first criterion evaluation that touches it)
     nj.apply_out_refresh(np.array([newnode]), np.array([res["dout_new"]]),
                          np.array([res["wout_new"]]), n_active - 1)
+    nj.cache_out_raw([newnode], [res["dout_new"]], [res["wout_new"]])
     return res

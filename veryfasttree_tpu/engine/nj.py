@@ -30,8 +30,11 @@ from .state import TreeState
 
 # A/B switch for the fused one-dispatch join (engine/fused.py); the unfused
 # multi-dispatch path is kept for the out-profile-reset iterations and as a
-# reference implementation (flip to False to bisect numerical differences).
-USE_FUSED_JOIN = True
+# reference implementation.  Runtime-selectable (VFT_FUSED_JOIN=0) so a
+# fused-vs-unfused numerical difference can be bisected in the field.
+import os as _os
+
+USE_FUSED_JOIN = _os.environ.get("VFT_FUSED_JOIN", "1") != "0"
 
 
 @dataclass
@@ -82,6 +85,15 @@ class NeighbourJoining:
         self.out_distances = np.zeros(self.maxnodes)
         self.n_out_dist_active = np.full(self.maxnodes, n_seqs * 10, dtype=np.int64)
         self.join_log: list = []  # (i, j) per join, for join-order parity tests
+
+        # Host cache of raw (dist, weight) vs the CURRENT out-profile, filled
+        # by the fused join's prefetch scan.  An out-distance refresh whose
+        # node is cached is pure host math (apply_out_refresh), so the search
+        # phase pays no blocking dispatch for staleness bookkeeping.  Entries
+        # are valid only for prof.out_version at fill time; values are
+        # independent of n_active (that enters in apply_out_refresh).
+        self._out_raw: dict = {}
+        self._out_raw_version = -1
 
         self.prof.recompute_outprofile(self._leaf_mask())
         if self.n_cons:
@@ -154,6 +166,28 @@ class NeighbourJoining:
         self.out_distances[idx] = od
         self.n_out_dist_active[idx] = n_active
 
+    def cache_out_raw(self, nodes, dists, weights) -> None:
+        """Record raw (dist, weight) vs the current out-profile for later
+        host-only refreshes (invalidated when prof.out_version moves)."""
+        if self._out_raw_version != self.prof.out_version:
+            self._out_raw = {}
+            self._out_raw_version = self.prof.out_version
+        for n, d, w in zip(np.asarray(nodes), np.asarray(dists),
+                           np.asarray(weights)):
+            self._out_raw[int(n)] = (float(d), float(w))
+
+    def _split_cached(self, idx: np.ndarray):
+        """Split a refresh set into (cached_idx, d, w, uncached_idx)."""
+        if self._out_raw_version != self.prof.out_version or not self._out_raw:
+            return idx[:0], None, None, idx
+        hit = np.array([int(n) in self._out_raw for n in idx], dtype=bool)
+        if not hit.any():
+            return idx[:0], None, None, idx
+        cached = idx[hit]
+        d = np.array([self._out_raw[int(n)][0] for n in cached])
+        w = np.array([self._out_raw[int(n)][1] for n in cached])
+        return cached, d, w, idx[~hit]
+
     def set_out_distance(self, idx: np.ndarray, n_active: int, force=False) -> None:
         """Batched setOutDistance (ref tcc:1012-1083)."""
         idx = np.asarray(idx, dtype=np.int64)
@@ -161,9 +195,15 @@ class NeighbourJoining:
             idx = idx[self.n_out_dist_active[idx] != n_active]
         if len(idx) == 0:
             return
-        dist, weight = self.prof.dist_set_vs_out(idx)
-        self.debug.outprofile_ops += len(idx)
-        self.apply_out_refresh(idx, dist, weight, n_active)
+        cached, dc, wc, miss = self._split_cached(idx)
+        if len(cached):
+            self.debug.outprofile_ops += len(cached)
+            self.apply_out_refresh(cached, dc, wc, n_active)
+        if len(miss) == 0:
+            return
+        dist, weight = self.prof.dist_set_vs_out(miss)
+        self.debug.outprofile_ops += len(miss)
+        self.apply_out_refresh(miss, dist, weight, n_active)
 
     def set_criterion_batch(self, n_active: int, iis, jjs, dists) -> np.ndarray:
         """Batched setCriterion (ref tcc:1085-1113): refresh stale out-distances
@@ -207,6 +247,11 @@ class NeighbourJoining:
             refresh = np.concatenate([refresh, rn])
         if len(refresh):
             refresh = np.unique(refresh)
+            cached, dc, wc, refresh = self._split_cached(refresh)
+            if len(cached):
+                self.debug.outprofile_ops += len(cached)
+                self.apply_out_refresh(cached, dc, wc, n_active)
+        if len(refresh):
             d_out, w_o, dist, weight = self.prof.refresh_and_pairs(
                 refresh, iis, jjs)
             self.debug.outprofile_ops += len(refresh)
@@ -405,8 +450,10 @@ class NeighbourJoining:
                 # with ONE blocking fetch (engine/fused.py)
                 from . import fused as fused_mod
                 plan = tophits.prepare_join_merge(self, newnode, n_active - 1)
+                pref = tophits.prefetch_rows(self, plan)
                 res = fused_mod.join_step(self, join, n_active, newnode,
-                                          plan.cand if plan.b_use else None)
+                                          plan.cand if plan.b_use else None,
+                                          prefetch=pref)
                 tophits.top_hit_join_fused(self, newnode, n_active - 1, plan, res)
                 continue
 

@@ -301,6 +301,9 @@ class MEProfiles:
         self.n_gaps = np.asarray((leaf_codes == NOCODE).sum(axis=1), dtype=np.int64)
         self.w_out = None
         self.f_out = None
+        # monotone version of the out-profile; host-side raw-distance caches
+        # (nj._out_raw) are valid only while this is unchanged
+        self.out_version = 0
 
     def _phys(self, row):
         """Physical float-array index of a (non-leaf) row in two-tier mode."""
@@ -312,6 +315,7 @@ class MEProfiles:
 
     # -- out-profile ---------------------------------------------------------
     def recompute_outprofile(self, active_mask: np.ndarray) -> None:
+        self.out_version += 1
         full = np.zeros(self.n_rows, dtype=bool)
         full[: len(active_mask)] = active_mask
         mask_leaf = jnp.asarray(full[: self.n_seqs])
@@ -329,6 +333,7 @@ class MEProfiles:
                 self.code_freq, self.eigentot, self.use_matrix, False, self.tol)
 
     def update_outprofile(self, i: int, j: int, newnode: int, n_active_old: int) -> None:
+        self.out_version += 1
         self.w_out, self.f_out = _outprofile_update(
             self.w_out, self.f_out, self.codes, self.W, self.U, i, j, newnode,
             n_active_old, self.n_seqs, self.code_freq, self.eigentot,

@@ -21,7 +21,19 @@ import math
 
 import numpy as np
 
+from typing import NamedTuple
+
 from .nj import Besthit
+
+
+class JoinPlan(NamedTuple):
+    """Host-side decisions of topHitJoin made before any device work."""
+    c0: int
+    c1: int
+    cand: np.ndarray
+    b_use: bool
+    b_second: bool
+    age_new: int
 
 
 class TopHits:
@@ -257,7 +269,9 @@ class TopHits:
                 or (3 * n_candidate < len(self.topvisible)
                     and 3 * n_candidate < n_active)):
             if self.topvisible_age <= 2:
-                # expand visible set by walking up (ref :4171-4201)
+                # expand visible set by walking up (ref :4171-4201), all walked
+                # nodes' pair distances evaluated in ONE batched dispatch
+                walk_i, walk_j = [], []
                 for i_node in range(tree.maxnode):
                     if tree.parent[i_node] >= 0:
                         continue
@@ -268,42 +282,143 @@ class TopHits:
                             newj = 0
                             while tree.parent[newj] >= 0 or newj == i_node:
                                 newj += 1
-                        d, w, c = nj.set_dist_criterion_batch(
-                            n_active, [i_node], [newj])
-                        self.visible_j[i_node] = newj
-                        self.visible_dist[i_node] = d[0]
+                        walk_i.append(i_node)
+                        walk_j.append(newj)
+                if walk_i:
+                    d, w, c = nj.set_dist_criterion_batch(
+                        n_active, walk_i, walk_j)
+                    for k, i_node in enumerate(walk_i):
+                        self.visible_j[i_node] = walk_j[k]
+                        self.visible_dist[i_node] = d[k]
             self.reset_top_visible(nj, n_active)
             return self.search(nj, n_active)
 
         assert best_node >= 0 and tree.parent[best_node] < 0
-        join = self.get_visible(nj, n_active, best_node)
-        assert join is not None
+        # the batch scan above already criterion-refreshed this entry; reuse it
+        # (identical math to a fresh get_visible call)
+        join = vis[best_node]
 
         if opts.fastest:
             return join
 
         while True:
-            changed = False
-            best = self.get_best_from_top_hits(nj, join.i, n_active)
-            if best.j != join.j and best.criterion < join.criterion:
-                changed = True
-                join = best
-            best = self.get_best_from_top_hits(nj, join.j, n_active)
-            if best.j != join.i and best.criterion < join.criterion:
-                changed = True
-                join = best
+            join, changed = self.hill_climb_step(nj, join, n_active)
             if changed:
                 nj.debug.n_hill_better += 1
             else:
                 break
         return join
 
+    def hill_climb_step(self, nj, join: Besthit, n_active: int):
+        """One hill-climb iteration (ref topHitNJSearch tcc:4226-4263):
+        getBestFromTopHits of join.i and join.j with both hit lists' changed
+        pairs evaluated in ONE dispatch.  The join.j half is speculative (the
+        reference evaluates it against the possibly-updated join); if the
+        join.i half changes the join, the j-half's out-distance refreshes are
+        rolled back and the new j is evaluated separately -- values and
+        staleness bookkeeping match the sequential order exactly."""
+        opts = self.options
+        i, j = join.i, join.j
+        pi = self._prep_hits(nj, i)
+        pj = self._prep_hits(nj, j)
+
+        # refresh policy, applied sequentially per half (host math whenever
+        # the fused join's prefetch cached the raw out-profile scans)
+        self._apply_half_refresh(nj, i, pi, n_active)
+        snap = self._apply_half_refresh(nj, j, pj, n_active, snapshot=True)
+
+        # the ONE pairs dispatch: both halves' changed ancestor pairs
+        n_ci, n_cj = len(pi.changed_idx), len(pj.changed_idx)
+        if n_ci + n_cj:
+            iis = np.concatenate([np.full(n_ci, i), np.full(n_cj, j)])
+            jjs = np.concatenate([pi.anc[pi.changed_idx], pj.anc[pj.changed_idx]])
+            d, w, _ = nj.set_dist_criterion_batch(n_active, iis, jjs)
+            pi.out_d[pi.changed_idx] = d[:n_ci]
+            pj.out_d[pj.changed_idx] = d[n_ci:]
+
+        best = self._best_from_prepped(nj, i, pi, n_active)
+        if best.j != join.j and best.criterion < join.criterion:
+            # misspeculation: undo the j-half refreshes, evaluate the new j
+            for node, od, na in snap:
+                nj.out_distances[node] = od
+                nj.n_out_dist_active[node] = na
+            join = best
+            best = self.get_best_from_top_hits(nj, join.j, n_active)
+            if best.j != join.i and best.criterion < join.criterion:
+                join = best
+            return join, True
+
+        best = self._best_from_prepped(nj, j, pj, n_active)
+        if best.j != join.i and best.criterion < join.criterion:
+            return best, True
+        return join, False
+
+    class _Prepped:
+        __slots__ = ("anc", "valid_idx", "changed_idx", "out_d")
+
+    def _prep_hits(self, nj, i_node: int):
+        """Host half of getBestFromTopHits: remap the hit list to active
+        ancestors; changed pairs need re-evaluated distances."""
+        tree = nj.tree
+        assert i_node >= 0 and tree.parent[i_node] < 0
+        js = self.hits_j[i_node]
+        p = self._Prepped()
+        anc = np.array([tree.active_ancestor(int(j)) for j in js],
+                       dtype=np.int64)
+        valid = (anc >= 0) & (anc != i_node)
+        p.anc = anc
+        p.valid_idx = np.nonzero(valid)[0]
+        p.changed_idx = np.nonzero(valid & (anc != js))[0]
+        p.out_d = self.hits_dist[i_node].copy()
+        return p
+
+    def _apply_half_refresh(self, nj, i_node: int, p, n_active: int,
+                            snapshot: bool = False):
+        """Apply the out-distance refreshes the sequential
+        getBestFromTopHits(i_node) dispatch would perform: i_node itself when
+        not current (unless -fastest), plus stale-beyond-allowance nodes among
+        the pair partners and valid ancestors.  Returns (node, od, na)
+        snapshots for rollback when requested."""
+        n_diff_allow = int(n_active * nj.options.stale_out_limit) \
+            if nj.options.tophits_mult > 0 else 0
+        nodes = np.unique(np.concatenate([[i_node], p.anc[p.valid_idx]]))
+        stale = nodes[nj.n_out_dist_active[nodes] - n_active > n_diff_allow]
+        refresh = set(int(n) for n in stale)
+        if (not nj.options.fastest
+                and nj.n_out_dist_active[i_node] != n_active):
+            refresh.add(i_node)
+        refresh = np.array(sorted(refresh), dtype=np.int64)
+        snap = []
+        if snapshot:
+            snap = [(int(n), float(nj.out_distances[n]),
+                     int(nj.n_out_dist_active[n])) for n in refresh]
+        if len(refresh):
+            nj.set_out_distance(refresh, n_active, force=True)
+        return snap
+
+    def _best_from_prepped(self, nj, i_node: int, p, n_active: int) -> Besthit:
+        """Criterion + argmin over a prepped hit list (out-distances fresh or
+        within the staleness allowance, so this is host math)."""
+        best = Besthit(i_node)
+        if len(p.valid_idx):
+            crit = nj.set_criterion_batch(
+                n_active, np.full(len(p.valid_idx), i_node),
+                p.anc[p.valid_idx], p.out_d[p.valid_idx])
+            k = int(np.argmin(crit))
+            b = p.valid_idx[k]
+            best = Besthit(i_node, int(p.anc[b]), -1.0, float(p.out_d[b]),
+                           float(crit[k]))
+        assert best.j >= 0
+        return best
+
     def get_best_from_top_hits(self, nj, i_node: int, n_active: int) -> Besthit:
         """ref getBestFromTopHits tcc:4267-4298 -- batched over the hit list.
 
-        All device work of this call (i_node's out-distance refresh, the
-        changed-ancestor pair distances, and the staleOutLimit refreshes of the
-        valid ancestors) is fused into at most ONE dispatch."""
+        Fallback single-node form (the hill-climb uses hill_climb_step, which
+        fuses both halves into one dispatch).  The changed-ancestor pair
+        distances plus the staleOutLimit refreshes share one dispatch; the
+        no-changed-pairs branch may add a second for i_node's own refresh
+        when the out-raw cache misses."""
         tree = nj.tree
         assert i_node >= 0 and tree.parent[i_node] < 0
         js = self.hits_j[i_node]
@@ -386,16 +501,31 @@ class TopHits:
                 b_use = n_unique >= int(0.5 + m * opts.tophits_refresh)
                 b_second = False
 
-        class Plan:
-            pass
+        return JoinPlan(c0, c1, cand, b_use, b_second, age_new)
 
-        plan = Plan()
-        plan.c0, plan.c1 = c0, c1
-        plan.cand = cand
-        plan.b_use = b_use
-        plan.b_second = b_second
-        plan.age_new = age_new
-        return plan
+    def prefetch_rows(self, nj, plan) -> np.ndarray:
+        """Rows whose raw out-profile distances the fused join should scan for
+        the host cache: the top-visible working set and its visible partners
+        plus the merge candidates' visible partners -- everything the post-join
+        bookkeeping and the next search's staleness refreshes will touch."""
+        tree = nj.tree
+        rows = set()
+
+        def add(n):
+            n = int(n)
+            if n >= 0 and tree.parent[n] < 0:
+                rows.add(n)
+
+        for t in self.topvisible:
+            t = int(t)
+            if t < 0 or tree.parent[t] >= 0:
+                continue
+            rows.add(t)
+            add(self.visible_j[t])
+        if plan.b_use:
+            for c in plan.cand:
+                add(self.visible_j[int(c)])
+        return np.array(sorted(rows), dtype=np.int64)
 
     def top_hit_join_fused(self, nj, newnode: int, n_active: int, plan,
                            res: dict) -> None:
@@ -505,8 +635,13 @@ class TopHits:
         self.visible_j[newnode] = self.hits_j[newnode][0]
         self.visible_dist[newnode] = self.hits_dist[newnode][0]
 
-        # expand the lists of the new node's top m hits (ref :4477-4515)
+        # expand the lists of the new node's top m hits (ref :4477-4515); all
+        # expansions' distances+criteria are evaluated in ONE gathered dispatch
+        # (the per-node refreshes and list merges are independent: each node's
+        # candidates depend only on pre-refresh hit lists and newnode's)
         top_js = self.hits_j[newnode][:m]
+        work = []           # (j_node, n_new, uniq ancestors)
+        all_i, all_j = [], []
         for j_node in top_js:
             j_node = int(j_node)
             if tree.parent[j_node] >= 0 or self.hits_j[j_node] is None:
@@ -518,12 +653,23 @@ class TopHits:
             both = np.concatenate([self.hits_j[j_node],
                                    [newnode],
                                    self.hits_j[newnode][: 2 * n_new]])
-            uj, ud, uc = self._unique_best_hits(nj, j_node, both, n_active)
-            order2 = np.argsort(uc, kind="stable")
-            self._sort_save(nj, j_node, uj[order2], ud[order2], None, n_new,
-                            presorted=True)
-            self.visible_j[j_node] = self.hits_j[j_node][0]
-            self.visible_dist[j_node] = self.hits_dist[j_node][0]
+            uniq = self._unique_ancestors(nj, j_node, both)
+            work.append((j_node, n_new, uniq))
+            all_i.append(np.full(len(uniq), j_node, dtype=np.int64))
+            all_j.append(uniq)
+        if work:
+            dist, weight, crit = nj.set_dist_criterion_batch(
+                n_active, np.concatenate(all_i), np.concatenate(all_j))
+            off = 0
+            for j_node, n_new, uniq in work:
+                ud = dist[off: off + len(uniq)]
+                uc = crit[off: off + len(uniq)]
+                off += len(uniq)
+                order2 = np.argsort(uc, kind="stable")
+                self._sort_save(nj, j_node, uniq[order2], ud[order2], None,
+                                n_new, presorted=True)
+                self.visible_j[j_node] = self.hits_j[j_node][0]
+                self.visible_dist[j_node] = self.hits_dist[j_node][0]
         self.reset_top_visible(nj, n_active)
 
     def _unique_best_hits(self, nj, i_node: int, cand_js, n_active: int):

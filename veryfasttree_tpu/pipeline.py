@@ -254,7 +254,10 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
         spr_remaining -= 1
 
-    if options.threads > 1:
+    if options.threads > 1 or not options.bionj:
+        # the level-batched path (one gathered distance dispatch for the whole
+        # tree) is value-identical to the serial walk whenever the ME
+        # up-profiles use the plain 0.5 average, i.e. whenever -bionj is off
         from .engine import batched
         batched.update_branch_lengths_batched(nj)
     else:
