@@ -299,16 +299,14 @@ class NeighbourJoining:
         return dist, weight, crit
 
     # ------------------------------------------------------------- best hits
-    def set_best_hit(self, node: int, n_active: int, want_all: bool = False):
-        """One-vs-all scan (ref setBestHit tcc:3571-3646).  Returns
-        (bestjoin, allhits) with allhits = (j, dist, weight, criterion) arrays
-        over all maxnode slots (invalid entries have criterion 1e20)."""
-        maxnode = self.tree.maxnode
-        dist, weight = self.prof.dist_one_vs_all(node)
-        dist = dist[:maxnode]
-        weight = weight[:maxnode]
+    def best_hit_arrays(self, node: int, dist, weight, n_active: int):
+        """Host half of setBestHit given a prefetched scan over the first
+        len(dist) rows: diameters, constraints, criterion.  Returns the
+        (dist, weight, criterion) arrays of set_best_hit(want_all=True)."""
+        maxnode = len(dist)
+        dist = np.array(dist, dtype=np.float64)
+        weight = np.asarray(weight, dtype=np.float64)
         active = self.active_mask()[:maxnode]
-        leafpair = (node < self.n_seqs) & (np.arange(maxnode) < self.n_seqs)
         self.debug.profile_ops += int(active.sum())
         dist = dist - (self.diameter[node] + self.diameter[:maxnode])
         if self.n_cons:
@@ -316,14 +314,22 @@ class NeighbourJoining:
             pens = self.join_penalties_batch(np.full(len(js), node), js)
             dist[js] += self.options.constraint_weight * pens
         weight = np.where(weight > 0, weight, 0.01)
-
         iis = np.full(maxnode, node)
         crit = np.full(maxnode, 1e20)
         js = np.nonzero(active)[0]
         crit[js] = self.set_criterion_batch(n_active, iis[js], js, dist[js])
         dist = np.where(active, dist, 1e20)
         weight = np.where(active, weight, 0.0)
+        return dist, weight, crit
 
+    def set_best_hit(self, node: int, n_active: int, want_all: bool = False):
+        """One-vs-all scan (ref setBestHit tcc:3571-3646).  Returns
+        (bestjoin, allhits) with allhits = (j, dist, weight, criterion) arrays
+        over all maxnode slots (invalid entries have criterion 1e20)."""
+        maxnode = self.tree.maxnode
+        dist, weight = self.prof.dist_one_vs_all(node)
+        dist, weight, crit = self.best_hit_arrays(node, dist[:maxnode],
+                                                  weight[:maxnode], n_active)
         cand = crit.copy()
         cand[node] = 1e20  # exclude self from the best join
         bj = int(np.argmin(cand))

@@ -107,6 +107,40 @@ def _dist_all(codes, W, U, uq, wq, n_seqs, eigenval, code_freq, use_matrix,
 
 
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
+def _dist_many_vs_leaves(codes, W, U, rows, n_seqs, eigenval, code_freq,
+                         use_matrix, two_tier, up=None):
+    """K query rows vs ALL leaves -> (dist[K, n_seqs], denom[K, n_seqs]).
+
+    The top-hits seed-scan kernel: one dispatch evaluates a whole wave of
+    seeds (ref setAllLeafTopHits tcc:3746-4124 runs one seed per parallel
+    block; here the wave is one [K, P*C] x [P*C, n_seqs] MXU matmul)."""
+    _, wq, uq = _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier)
+    ev = eigenval if use_matrix else None
+    if up is not None:
+        uq = uq.astype(up)
+        wq = wq.astype(up)
+        W = W.astype(up)
+        U = U.astype(up)
+        code_freq = code_freq.astype(up)
+        ev = ev.astype(up) if ev is not None else None
+    K = uq.shape[0]
+    if two_tier:
+        f = jax.vmap(lambda u, w: kernels.me_dist_many_codes(
+            codes[:n_seqs], u, w, ev, code_freq, u.dtype))
+        return f(uq, wq)
+    Wl = W[:n_seqs]
+    Ul = U[:n_seqs]
+    denom = wq @ Wl.T                                    # [K, n_seqs]
+    if ev is not None:
+        a = (uq * ev[None, None, :]).reshape(K, -1)
+        top = a @ Ul.reshape(n_seqs, -1).T
+    else:
+        top = denom - uq.reshape(K, -1) @ Ul.reshape(n_seqs, -1).T
+    dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
+    return dist, denom
+
+
+@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
                  use_matrix, two_tier, up=None):
     _, Wj, Uj = _rows_cwu(codes, W, U, js, code_freq, n_seqs, two_tier)
@@ -367,6 +401,17 @@ class MEProfiles:
                              self.eigenval, self.code_freq, self.use_matrix,
                              self.two_tier, _accum_dtype())
         return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
+
+    def dist_many_vs_leaves(self, rows: np.ndarray):
+        """Wave seed scan: [K] query rows vs all leaves -> (dist, weight)
+        numpy arrays of shape [K, n_seqs]."""
+        rpad, n = _pad_pow2(np.asarray(rows, dtype=np.int64))
+        d, w = _dist_many_vs_leaves(
+            self.codes, self.W, self.U, jnp.asarray(rpad), self.n_seqs,
+            self.eigenval, self.code_freq, self.use_matrix, self.two_tier,
+            _accum_dtype())
+        return (np.asarray(d, dtype=np.float64)[:n],
+                np.asarray(w, dtype=np.float64)[:n])
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
         uq, wq = self.row_query(i)

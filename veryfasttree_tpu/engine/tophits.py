@@ -137,59 +137,36 @@ class TopHits:
         assert 2 * m <= n_seqs
         visited = np.zeros(n_seqs, dtype=bool)
 
-        for seed in seeds:
-            seed = int(seed)
-            if visited[seed]:
-                continue
-            visited[seed] = True
-            _, all_ = nj.set_best_hit(seed, n_seqs, want_all=True)
-            dist, weight, crit = all_
-            order = np.argsort(crit, kind="stable")
-            sj = order
-            sdist = dist[order]
-            sweight = weight[order]
-            self._sort_save(nj, seed, sj, sdist, None, m, presorted=True)
-
-            # close-neighbor inheritance (ref :3933-4014)
-            neardist = sdist[2 * m - 1] * close
-            nearweight = sweight[: 2 * m].sum() / (2.0 * m)
-            nearweight *= 1.0 - 2.0 * neardist / 3.0
-            nearcover = 1.0 - neardist / 2.0
-
-            for i_close in range(m):
-                close_node = int(sj[i_close])
-                if close_node >= n_seqs or visited[close_node]:
+        # Wave-batched seed scans: the next K unvisited seeds (in seed order)
+        # are scanned against all leaves in ONE dispatch; processing stays in
+        # strict seed order, and a wave member that an earlier member claims
+        # as a close neighbor gets its scan discarded -- exactly the serial
+        # outcome (the discarded scan was never observable).  K adapts to the
+        # discard rate so clustered data does not waste scan bandwidth.
+        seed_pos = 0
+        wave_k = 8
+        while seed_pos < len(seeds):
+            wave = []
+            while seed_pos < len(seeds) and len(wave) < wave_k:
+                s = int(seeds[seed_pos])
+                seed_pos += 1
+                if not visited[s]:
+                    wave.append(s)
+            if not wave:
+                break
+            dist_w, weight_w = nj.prof.dist_many_vs_leaves(np.array(wave))
+            n_disc = 0
+            for k, seed in enumerate(wave):
+                if visited[seed]:
+                    n_disc += 1
                     continue
-                ch_dist = sdist[i_close]
-                ch_weight = sweight[i_close]
-                is_close = ch_dist <= neardist and (
-                    ch_weight >= nearweight
-                    or ch_weight >= (nj.n_pos - n_gaps[close_node]) * nearcover)
-                identical = (ch_dist < 1e-6
-                             and abs(ch_weight - (nj.n_pos - n_gaps[seed])) < 1e-5
-                             and abs(ch_weight - (nj.n_pos - n_gaps[close_node])) < 1e-5)
-                if opts.use_tophits_2nd and i_close < q and (is_close or identical):
-                    nj.debug.n_close2_used += 1
-                    n_use = min(q * opts.tophits2_safety, 2 * m)
-                    self._transfer_and_save(nj, close_node, sj[:n_use], n_seqs, q)
-                    visited[close_node] = True
-                    self.hit_source[close_node] = seed
-                elif is_close or identical or (opts.fastest and i_close < (q + 1) // 2):
-                    nj.debug.n_close_used += 1
-                    sj2, sd2 = self._transfer_and_save(nj, close_node,
-                                                       sj[: 2 * m], n_seqs, m)
-                    visited[close_node] = True
-                    if opts.use_tophits_2nd:
-                        # 2nd level transfer (ref :3993-4012)
-                        for i2 in range(min(q, 2 * m)):
-                            cn2 = int(sj2[i2])
-                            if cn2 >= 0 and cn2 < n_seqs and not visited[cn2]:
-                                nj.debug.n_close2_used += 1
-                                n_use = min(q * opts.tophits2_safety, 2 * m)
-                                self._transfer_and_save(nj, cn2, sj2[:n_use],
-                                                        n_seqs, q)
-                                visited[cn2] = True
-                                self.hit_source[cn2] = close_node
+                visited[seed] = True
+                self._process_seed(nj, seed, dist_w[k], weight_w[k], n_seqs,
+                                   m, q, close, n_gaps, visited)
+            if 4 * n_disc > len(wave):
+                wave_k = max(4, wave_k // 2)
+            elif wave_k < 64:
+                wave_k *= 2
 
         for i in range(n_seqs):
             assert self.hits_j[i] is not None
@@ -197,6 +174,79 @@ class TopHits:
             self.visible_dist[i] = self.hits_dist[i][0]
 
         self._check_reverse_inclusion(nj, n_seqs)
+
+    def _process_seed(self, nj, seed: int, dist_row, weight_row, n_seqs: int,
+                      m: int, q: int, close: float, n_gaps, visited) -> None:
+        """Per-seed body of setAllLeafTopHits (ref :3860-4014): save the
+        seed's list, then close-neighbor inheritance.  Without 2nd-level
+        lists the accepted neighbors' transfers share ONE batched dispatch
+        (their accept decisions depend only on the seed's scan)."""
+        opts = self.options
+        dist, weight, crit = nj.best_hit_arrays(seed, dist_row, weight_row,
+                                                n_seqs)
+        order = np.argsort(crit, kind="stable")
+        sj = order
+        sdist = dist[order]
+        sweight = weight[order]
+        self._sort_save(nj, seed, sj, sdist, None, m, presorted=True)
+
+        # close-neighbor inheritance (ref :3933-4014)
+        neardist = sdist[2 * m - 1] * close
+        nearweight = sweight[: 2 * m].sum() / (2.0 * m)
+        nearweight *= 1.0 - 2.0 * neardist / 3.0
+        nearcover = 1.0 - neardist / 2.0
+
+        plain_accept = []  # batched 1st-level transfers (no 2nd-level chains)
+        for i_close in range(m):
+            close_node = int(sj[i_close])
+            if close_node >= n_seqs or visited[close_node]:
+                continue
+            ch_dist = sdist[i_close]
+            ch_weight = sweight[i_close]
+            is_close = ch_dist <= neardist and (
+                ch_weight >= nearweight
+                or ch_weight >= (nj.n_pos - n_gaps[close_node]) * nearcover)
+            identical = (ch_dist < 1e-6
+                         and abs(ch_weight - (nj.n_pos - n_gaps[seed])) < 1e-5
+                         and abs(ch_weight - (nj.n_pos - n_gaps[close_node])) < 1e-5)
+            if opts.use_tophits_2nd and i_close < q and (is_close or identical):
+                nj.debug.n_close2_used += 1
+                n_use = min(q * opts.tophits2_safety, 2 * m)
+                self._transfer_and_save(nj, close_node, sj[:n_use], n_seqs, q)
+                visited[close_node] = True
+                self.hit_source[close_node] = seed
+            elif is_close or identical or (opts.fastest and i_close < (q + 1) // 2):
+                nj.debug.n_close_used += 1
+                visited[close_node] = True
+                if opts.use_tophits_2nd:
+                    sj2, sd2 = self._transfer_and_save(nj, close_node,
+                                                       sj[: 2 * m], n_seqs, m)
+                    # 2nd level transfer (ref :3993-4012)
+                    for i2 in range(min(q, 2 * m)):
+                        cn2 = int(sj2[i2])
+                        if cn2 >= 0 and cn2 < n_seqs and not visited[cn2]:
+                            nj.debug.n_close2_used += 1
+                            n_use = min(q * opts.tophits2_safety, 2 * m)
+                            self._transfer_and_save(nj, cn2, sj2[:n_use],
+                                                    n_seqs, q)
+                            visited[cn2] = True
+                            self.hit_source[cn2] = close_node
+                else:
+                    plain_accept.append(close_node)
+
+        if plain_accept:
+            # all accepted neighbors evaluate the same candidate set sj[:2m];
+            # one gathered dispatch, then per-node sort/save (order-free)
+            cand = np.asarray(sj[: 2 * m], dtype=np.int64)
+            iis = np.repeat(np.asarray(plain_accept, dtype=np.int64), len(cand))
+            jjs = np.tile(cand, len(plain_accept))
+            d_all, w_all, c_all = nj.set_dist_criterion_batch(n_seqs, iis, jjs)
+            for k, node in enumerate(plain_accept):
+                d = d_all[k * len(cand): (k + 1) * len(cand)]
+                c = c_all[k * len(cand): (k + 1) * len(cand)]
+                o = np.argsort(c, kind="stable")
+                self._sort_save(nj, node, cand[o], d[o], None, m,
+                                presorted=True)
 
     def _transfer_and_save(self, nj, node: int, cand_js, n_active: int,
                            n_out: int):
