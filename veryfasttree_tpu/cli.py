@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-mlacc", type=int, default=1, metavar="n")
     a("-mllen", action="store_true")
     a("-slownni", action="store_true")
-    a("-approxml", action="store_true")
+    a("-approxml", "-mlapprox", action="store_true", dest="approxml",
+      help="approximate posterior distributions for amino acids")
     a("-mlexact", action="store_true", help="(obsolete; on by default)")
     a("-exactml", action="store_true", help="(obsolete; on by default)")
     # models
@@ -114,6 +115,70 @@ def build_parser() -> argparse.ArgumentParser:
       help="store leaves as int8 codes only (16x HBM cut) at >= n unique "
            "sequences; 0 forces two-tier, -1 disables it")
     return p
+
+
+def basic_help() -> str:
+    """Curated common-options help (ref main.cpp:538-599 basicCli): usage
+    examples plus the ~20 flags most users need; the full surface is behind
+    -expert (ref main.cpp:623-627)."""
+    name = "veryfasttree-tpu"
+    lines = [
+        f"{constants.NAME} {constants.VERSION} (XLA/Pallas)",
+        f"  {name} protein_alignment > tree",
+        f"  {name} < protein_alignment > tree",
+        f"  {name} -out tree protein_alignment",
+        f"  {name} -nt nucleotide_alignment > tree",
+        f"  {name} -nt -gtr < nucleotide_alignment > tree",
+        f"  {name} accepts alignments in NEXUS, Fasta, Fastq or Phylip "
+        "interleaved formats, optionally compressed with gzip, bzip2 or xz.",
+        "",
+        "Common options:",
+    ]
+    common = [
+        ("-n <number>", "to analyze multiple alignments (phylip format only) "
+         "(use for global bootstrap, with seqboot and CompareToBootstrap.pl)"),
+        ("-intree newick_file", "to set the starting tree(s)"),
+        ("-intree1 newick_file", "to use this starting tree for all the "
+         "alignments (for faster global bootstrap on huge alignments)"),
+        ("-quiet", "to suppress reporting information"),
+        ("-nopr", "to suppress progress indicator"),
+        ("-log logfile", "save intermediate trees, settings, and model details"),
+        ("-quote", "allow spaces and other restricted characters (but not ') "
+         "in sequence names and quote names in the output tree"),
+        ("-pseudo", "to use pseudocounts (recommended for highly gapped "
+         "sequences)"),
+        ("-fastest", "speed up the neighbor joining phase & reduce memory "
+         "usage (recommended for >50,000 sequences)"),
+        ("-nosupport", "to not compute support values"),
+        ("-gtr", "generalized time-reversible model (nucleotide alignments "
+         "only)"),
+        ("-lg", "Le-Gascuel 2008 model (amino acid alignments only)"),
+        ("-wag", "Whelan-And-Goldman 2001 model (amino acid alignments only)"),
+        ("-noml", "to turn off maximum-likelihood"),
+        ("-nome", "to turn off minimum-evolution NNIs and SPRs (recommended "
+         "if running additional ML NNIs with -intree); -nome -mllen with "
+         "-intree to optimize branch lengths for a fixed topology"),
+        ("-cat n", "to specify the number of rate categories of sites "
+         "(default 20) or -nocat to use constant rates"),
+        ("-gamma", "after optimizing the tree under the CAT approximation, "
+         "rescale the lengths to optimize the Gamma20 likelihood"),
+        ("-constraints constraintAlignment", "to constrain the topology "
+         "search; constraintAlignment should have 1s or 0s to indicate "
+         "splits"),
+        ("-mesh-sp n / -mesh-dp n", "TPU device-mesh shape: positions / "
+         "candidate rows"),
+        ("-double-precision", "use double precision arithmetic"),
+        ("-expert", "see more options"),
+    ]
+    import textwrap
+    for flag, desc in common:
+        lines.append(f"  {flag}")
+        lines.extend(textwrap.wrap(desc, width=74, initial_indent="      ",
+                                   subsequent_indent="      "))
+    lines.append("")
+    lines.append("For more information, see "
+                 "https://github.com/citiususc/veryfasttree or docs/.")
+    return "\n".join(lines)
 
 
 def args_to_options(ns) -> Options:
@@ -238,8 +303,11 @@ def report_settings(opts, log):
 def main(argv=None) -> int:
     parser = build_parser()
     ns = parser.parse_args(argv)
-    if ns.help_ or ns.expert:
+    if ns.expert:
         parser.print_help()
+        return 0
+    if ns.help_:
+        print(basic_help())
         return 0
 
     import jax  # ensure the backend reflects the environment before compute

@@ -62,10 +62,12 @@ def _pair_loglk_rows(codes, W, V, r1s, r2s, lengths, rates, ratecat, eigenval,
     return f(r1s, r2s, lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
+                   donate_argnums=(0, 1, 2))
 def _posterior_into(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
                     eigenval, code_freq, statinv, eigeninv, min_rel_len,
-                    min_len, jc, tol):
+                    min_len, jc, tol, use_approx, near_p, near_freq,
+                    rough_acc, exact_acc):
     len1 = jnp.maximum(len1, min_len)
     len2 = jnp.maximum(len2, min_len)
     c1, w1, v1 = codes[r1], W[r1], V[r1]
@@ -81,21 +83,35 @@ def _posterior_into(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
         ee1 = kernels.exp_eigen_rates(len1, rates, eigenval, min_rel_len)
         ee2 = kernels.exp_eigen_rates(len2, rates, eigenval, min_rel_len)
         n = V.shape[-1]
-        w_out, v_out = kernels.posterior_matrix(
+        approx = _approx_tuple(use_approx, near_p, near_freq)
+        w_out, v_out, n_rough, n_exact = kernels.posterior_matrix(
             f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n], eigeninv,
-            statinv, tol)
+            statinv, tol, approx)
         gap = code_freq[NOCODE]
+        rough_acc = rough_acc + n_rough
+        exact_acc = exact_acc + n_exact
     v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
     codes = codes.at[target].set(jnp.full_like(codes[0], NOCODE))
     W = W.at[target].set(w_out)
     V = V.at[target].set(v_out)
-    return codes, W, V
+    return codes, W, V, rough_acc, exact_acc
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
-def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, rates, ratecat,
-                    eigenval, code_freq, statinv, eigeninv, min_rel_len,
-                    min_len, jc, tol):
+def _approx_tuple(use_approx, near_p, near_freq):
+    """Static gate for the -approxml rough-posterior path (ref tcc:2390-2421)."""
+    if not use_approx:
+        return None
+    from .. import constants
+    return (near_p, near_freq, constants.APPROX_ML_MIN_F,
+            constants.APPROX_ML_MIN_RATIO)
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
+                   donate_argnums=(0, 1, 2))
+def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, valid, rates,
+                    ratecat, eigenval, code_freq, statinv, eigeninv, min_rel_len,
+                    min_len, jc, tol, use_approx, near_p, near_freq,
+                    rough_acc, exact_acc):
     def one(r1, r2, l1, l2):
         l1 = jnp.maximum(l1, min_len)
         l2 = jnp.maximum(l2, min_len)
@@ -109,22 +125,25 @@ def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, rates, ratecat
             w_out, v_out = kernels.posterior_jc(f1, f2, w1, w2, ps1, pd1, ps2, pd2,
                                                 ratecat)
             gap = jnp.full((V.shape[-1],), 0.25, dtype=V.dtype)
+            n_rough = n_exact = jnp.zeros((), jnp.float32)
         else:
             ee1 = kernels.exp_eigen_rates(l1, rates, eigenval, min_rel_len)
             ee2 = kernels.exp_eigen_rates(l2, rates, eigenval, min_rel_len)
             n = V.shape[-1]
-            w_out, v_out = kernels.posterior_matrix(
+            approx = _approx_tuple(use_approx, near_p, near_freq)
+            w_out, v_out, n_rough, n_exact = kernels.posterior_matrix(
                 f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n], eigeninv,
-                statinv, tol)
+                statinv, tol, approx)
             gap = code_freq[NOCODE]
         v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
-        return w_out, v_out
+        return w_out, v_out, n_rough, n_exact
 
-    w_outs, v_outs = jax.vmap(one)(r1s, r2s, len1s, len2s)
+    w_outs, v_outs, n_roughs, n_exacts = jax.vmap(one)(r1s, r2s, len1s, len2s)
     codes = codes.at[targets].set(NOCODE)
     W = W.at[targets].set(w_outs)
     V = V.at[targets].set(v_outs)
-    return codes, W, V
+    return (codes, W, V, rough_acc + (n_roughs * valid).sum(),
+            exact_acc + (n_exacts * valid).sum())
 
 
 class MLProfiles:
@@ -146,6 +165,11 @@ class MLProfiles:
         self.tol = float(opts.f_post_total_tolerance)
         self.min_len = dtype(opts.ml_min_branch_length)
         self.min_rel_len = dtype(opts.ml_min_rel_branch_length)
+        # -approxml rough-posterior gate: AA matrix models only (ref
+        # posteriorProfile tcc:2390-2421 sits inside the nCodes==20 branch)
+        self.use_approx = (not opts.exact_ml) and opts.n_codes == 20 and not self.jc
+        self._rough_acc = jnp.zeros((), jnp.float32)
+        self._exact_acc = jnp.zeros((), jnp.float32)
 
         C = self.n_codes
         if self.jc:
@@ -158,6 +182,8 @@ class MLProfiles:
             self.eigeninv = jnp.eye(C, dtype=dtype)
             self.eigentot = jnp.ones(C, dtype=dtype)
             self.gap_vec = jnp.full((C,), 0.25, dtype=dtype)
+            self.near_p = jnp.zeros((C, C), dtype=dtype)
+            self.near_freq = jnp.zeros((C, C), dtype=dtype)
         else:
             self.code_freq = jnp.asarray(transmat.code_freq, dtype=dtype)
             self.eigenval = jnp.asarray(transmat.eigenval, dtype=dtype)
@@ -165,6 +191,8 @@ class MLProfiles:
             self.eigeninv = jnp.asarray(transmat.eigeninv, dtype=dtype)
             self.eigentot = jnp.asarray(transmat.eigeninv.sum(axis=1), dtype=dtype)
             self.gap_vec = self.code_freq[NOCODE]
+            self.near_p = jnp.asarray(transmat.near_p, dtype=dtype)
+            self.near_freq = jnp.asarray(transmat.near_freq, dtype=dtype)
 
         pos_mask = np.zeros(self.p_pad, dtype=bool)
         pos_mask[: self.n_pos] = True
@@ -210,6 +238,9 @@ class MLProfiles:
         self.eigeninv = jnp.asarray(transmat.eigeninv, dtype=dtype)
         self.eigentot = jnp.asarray(transmat.eigeninv.sum(axis=1), dtype=dtype)
         self.gap_vec = self.code_freq[NOCODE]
+        self.near_p = jnp.asarray(transmat.near_p, dtype=dtype)
+        self.near_freq = jnp.asarray(transmat.near_freq, dtype=dtype)
+        self.use_approx = (not self.options.exact_ml) and self.n_codes == 20
         nj = self.nj
         codes_np = np.asarray(nj.prof.codes)[: nj.n_seqs]
         cfn = np.asarray(self.code_freq)
@@ -312,13 +343,18 @@ class MLProfiles:
             lpad = np.full((m, 5), 0.1, dtype=self.dtype)
             rpad[:n] = rows[s:e]
             lpad[:n] = lengths[s:e]
-            ch, cr, nl = _quartet_nni_rows(
+            valid = np.zeros(m, dtype=np.float32)
+            valid[:n] = 1.0
+            ch, cr, nl, self._rough_acc, self._exact_acc = _quartet_nni_rows(
                 self.codes, self.W, self.V, jnp.asarray(rpad), jnp.asarray(lpad),
+                jnp.asarray(valid),
                 self.rates, self.ratecat, self.eigenval, self.code_freq,
                 self.statinv, self.eigeninv, self.pos_mask, self.min_rel_len,
                 self.min_len, self.tol,
                 self.dtype(opts.ml_ftol_branch_length),
-                self.dtype(opts.ml_min_branch_length_tolerance), self.jc)
+                self.dtype(opts.ml_min_branch_length_tolerance), self.jc,
+                self.use_approx, self.near_p, self.near_freq,
+                self._rough_acc, self._exact_acc)
             choices[s:e] = np.asarray(ch)[:n]
             crits[s:e] = np.asarray(cr)[:n]
             newlens[s:e] = np.asarray(nl)[:n]
@@ -328,11 +364,13 @@ class MLProfiles:
 
     def posterior_into(self, target: int, r1: int, r2: int, len1: float,
                        len2: float) -> None:
-        self.codes, self.W, self.V = _posterior_into(
-            self.codes, self.W, self.V, target, r1, r2, self.dtype(len1),
-            self.dtype(len2), self.rates, self.ratecat, self.eigenval,
-            self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
-            self.min_len, self.jc, self.tol)
+        self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
+            _posterior_into(
+                self.codes, self.W, self.V, target, r1, r2, self.dtype(len1),
+                self.dtype(len2), self.rates, self.ratecat, self.eigenval,
+                self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
+                self.min_len, self.jc, self.tol, self.use_approx, self.near_p,
+                self.near_freq, self._rough_acc, self._exact_acc)
         self.nj.debug.n_posterior_compute += 1
 
     def posterior_rows(self, targets, r1s, r2s, len1s, len2s) -> None:
@@ -344,12 +382,26 @@ class MLProfiles:
         l2p = np.full(len(tp), 0.1, dtype=self.dtype)
         l1p[:n] = len1s
         l2p[:n] = len2s
-        self.codes, self.W, self.V = _posterior_rows(
-            self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
-            jnp.asarray(r2p), jnp.asarray(l1p), jnp.asarray(l2p), self.rates,
-            self.ratecat, self.eigenval, self.code_freq, self.statinv,
-            self.eigeninv, self.min_rel_len, self.min_len, self.jc, self.tol)
+        valid = np.zeros(len(tp), dtype=np.float32)
+        valid[:n] = 1.0
+        self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
+            _posterior_rows(
+                self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
+                jnp.asarray(r2p), jnp.asarray(l1p), jnp.asarray(l2p),
+                jnp.asarray(valid), self.rates, self.ratecat, self.eigenval,
+                self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
+                self.min_len, self.jc, self.tol, self.use_approx, self.near_p,
+                self.near_freq, self._rough_acc, self._exact_acc)
         self.nj.debug.n_posterior_compute += n
+
+    def flush_posterior_counters(self) -> None:
+        """Fetch the device-accumulated rough/exact posterior position counts
+        into the debug counters (ref nAAPosteriorRough/Exact) -- ONE blocking
+        fetch, called before the final stats print."""
+        self.nj.debug.n_aa_posterior_rough += int(float(self._rough_acc))
+        self.nj.debug.n_aa_posterior_exact += int(float(self._exact_acc))
+        self._rough_acc = jnp.zeros((), jnp.float32)
+        self._exact_acc = jnp.zeros((), jnp.float32)
 
     def recompute_average_profiles(self) -> None:
         """Balanced averaging of internal nodes in ML space, level-batched
@@ -584,7 +636,8 @@ def _p_from_row(codes, W, V, r, code_freq, jc):
 
 
 def _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq, statinv,
-               eigeninv, min_rel_len, min_len, tol, jc):
+               eigeninv, min_rel_len, min_len, tol, jc, approx=None,
+               counts=None):
     f1, _, w1 = p1
     f2, _, w2 = p2
     l1 = jnp.maximum(l1, min_len)
@@ -599,10 +652,12 @@ def _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq, statinv,
         ee1 = kernels.exp_eigen_rates(l1, rates, eigenval, min_rel_len)
         ee2 = kernels.exp_eigen_rates(l2, rates, eigenval, min_rel_len)
         n = f1.shape[-1]
-        w_out, v_out = kernels.posterior_matrix(f1, f2, w1, w2, ee1, ee2,
-                                                ratecat, code_freq[:n],
-                                                eigeninv, statinv, tol)
+        w_out, v_out, n_rough, n_exact = kernels.posterior_matrix(
+            f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n],
+            eigeninv, statinv, tol, approx)
         gap = code_freq[127]
+        if counts is not None:
+            counts.append((n_rough, n_exact))
     v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
     return (v_out, v_out, w_out)
 
@@ -621,14 +676,15 @@ def _ll_pair(p1, p2, length, rates, ratecat, eigenval, pos_mask, min_rel_len, jc
 
 def _quartet_opt_device(pA, pB, pC, pD, len5, rates, ratecat, eigenval,
                         code_freq, statinv, eigeninv, pos_mask, min_rel_len,
-                        min_len, tol, ftol, atol, jc):
+                        min_len, tol, ftol, atol, jc, approx=None, counts=None):
     """One full 5-branch quartet optimization; returns (loglk, new_len5)."""
     lens = jnp.maximum(len5, min_len)
     la, lb, lc, ld, li = lens[0], lens[1], lens[2], lens[3], lens[4]
 
     def post(p1, p2, l1, l2):
         return _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq,
-                          statinv, eigeninv, min_rel_len, min_len, tol, jc)
+                          statinv, eigeninv, min_rel_len, min_len, tol, jc,
+                          approx, counts)
 
     def ll(p1, p2, length):
         return _ll_pair(p1, p2, length, rates, ratecat, eigenval, pos_mask,
@@ -656,13 +712,14 @@ def _quartet_opt_device(pA, pB, pC, pD, len5, rates, ratecat, eigenval,
 
 def _quartet_nni_core(codes, W, V, rows4, len5, rates, ratecat, eigenval,
                       code_freq, statinv, eigeninv, pos_mask, min_rel_len,
-                      min_len, tol, ftol, atol, jc):
+                      min_len, tol, ftol, atol, jc, approx=None):
     pA = _p_from_row(codes, W, V, rows4[0], code_freq, jc)
     pB = _p_from_row(codes, W, V, rows4[1], code_freq, jc)
     pC = _p_from_row(codes, W, V, rows4[2], code_freq, jc)
     pD = _p_from_row(codes, W, V, rows4[3], code_freq, jc)
+    counts = []
     args = (rates, ratecat, eigenval, code_freq, statinv, eigeninv, pos_mask,
-            min_rel_len, min_len, tol, ftol, atol, jc)
+            min_rel_len, min_len, tol, ftol, atol, jc, approx, counts)
     l_ab = len5
     l_ac = jnp.stack([len5[0], len5[2], len5[1], len5[3], len5[4]])
     l_ad = jnp.stack([len5[0], len5[3], len5[2], len5[1], len5[4]])
@@ -674,14 +731,23 @@ def _quartet_nni_core(codes, W, V, rows4, len5, rates, ratecat, eigenval,
     pick_ad = (ll_ad > ll_ab) & (ll_ad > ll_ac) & ~pick_ac
     choice = jnp.where(pick_ac, 1, jnp.where(pick_ad, 2, 0))
     newlen = jnp.where(pick_ac, n_ac, jnp.where(pick_ad, n_ad, n_ab))
-    return choice, crit, newlen
+    if counts:
+        n_rough = sum(c[0] for c in counts)
+        n_exact = sum(c[1] for c in counts)
+    else:
+        n_rough = n_exact = jnp.zeros((), jnp.float32)
+    return choice, crit, newlen, n_rough, n_exact
 
 
-@functools.partial(jax.jit, static_argnames=("jc",))
-def _quartet_nni_rows(codes, W, V, rows, lens, rates, ratecat, eigenval,
+@functools.partial(jax.jit, static_argnames=("jc", "use_approx"))
+def _quartet_nni_rows(codes, W, V, rows, lens, valid, rates, ratecat, eigenval,
                       code_freq, statinv, eigeninv, pos_mask, min_rel_len,
-                      min_len, tol, ftol, atol, jc):
+                      min_len, tol, ftol, atol, jc, use_approx, near_p,
+                      near_freq, rough_acc, exact_acc):
+    approx = _approx_tuple(use_approx, near_p, near_freq)
     f = jax.vmap(lambda r4, l5: _quartet_nni_core(
         codes, W, V, r4, l5, rates, ratecat, eigenval, code_freq, statinv,
-        eigeninv, pos_mask, min_rel_len, min_len, tol, ftol, atol, jc))
-    return f(rows, lens)
+        eigeninv, pos_mask, min_rel_len, min_len, tol, ftol, atol, jc, approx))
+    ch, cr, nl, n_roughs, n_exacts = f(rows, lens)
+    return (ch, cr, nl, rough_acc + (n_roughs * valid).sum(),
+            exact_acc + (n_exacts * valid).sum())

@@ -247,13 +247,24 @@ def pair_loglk_jc(f1, f2, psame, pdiff, ratecat, pos_mask):
 
 
 def posterior_matrix(f1, f2, w1, w2, expeigen1, expeigen2, ratecat,
-                     code_freq_n, eigeninv, statinv, tol):
+                     code_freq_n, eigeninv, statinv, tol, approx=None):
     """Posterior profile of a parent from two children, matrix model
     (ref posteriorProfile tcc:2262-2429).
 
     f1,f2: [P,C] effective rotated child vectors; expeigen*: [nRate,C].
-    Returns (w_out[P], v_out[P,C]) in rotated space; gap-gap positions get
-    weight 0 and the gap row (caller substitutes code_freq[NOCODE]).
+    Returns (w_out[P], v_out[P,C], n_rough, n_exact) in rotated space;
+    gap-gap positions get weight 0 and the gap row (caller substitutes
+    code_freq[NOCODE]).
+
+    approx: None for the exact path, else (near_p[C,C], near_freq[C,C],
+    minf, minratio) enabling the -approxml rough-posterior gate (ref
+    tcc:2390-2421): if one character dominates the normalized posterior
+    (fPost[ch] >= approxMLminf) and the mixture w*onehot + (1-w)*nearP[ch]
+    under-estimates no other character by more than approxMLminratio, the
+    output is the precomputed rotation w*statinv[ch]*codeFreq[ch] +
+    (1-w)*nearFreq[ch] -- skipping the eigeninv rotation for that position.
+    n_rough/n_exact count non-gap positions taking each branch (ref debug
+    counters nAAPosteriorRough/Exact); both are 0 on the exact path.
     """
     e1 = expeigen1[ratecat]
     e2 = expeigen2[ratecat]
@@ -266,11 +277,37 @@ def posterior_matrix(f1, f2, w1, w2, expeigen1, expeigen2, ratecat,
     tot = fpost.sum(axis=-1)
     ok = tot > tol
     fpost = fpost / jnp.where(ok, tot, 1.0)[..., None]
-    # rotate back: out[p,k] = sum_j fpost[p,j] eigeninv[k,j]
-    v_out = fpost @ eigeninv.T
     both_gap = (w1 == 0) & (w2 == 0)
     w_out = jnp.where(both_gap, 0.0, 1.0)
-    return w_out, v_out
+    zero = jnp.zeros((), jnp.float32)
+    if approx is None:
+        # rotate back: out[p,k] = sum_j fpost[p,j] eigeninv[k,j]
+        v_out = fpost @ eigeninv.T
+        # nAAPosteriorExact counts every processed AA position even with
+        # exactML on (ref tcc:2424); the nt matrix path has no such counter
+        n_exact = (jnp.sum((~both_gap).astype(jnp.float32))
+                   if fpost.shape[-1] == 20 else zero)
+        return w_out, v_out, zero, n_exact
+    near_p, near_freq, minf, minratio = approx
+    # fPost sums to 1 and minf > 0.5, so "first j with fPost[j] >= minf"
+    # (ref tcc:2392-2398) is equivalent to the argmax when it qualifies.
+    ch = jnp.argmax(fpost, axis=-1)
+    fmax = jnp.take_along_axis(fpost, ch[:, None], axis=-1)[:, 0]
+    npch = near_p[ch]                       # [P, C]
+    npdiag = jnp.take_along_axis(npch, ch[:, None], axis=-1)[:, 0]
+    w = (fmax - npdiag) / (1.0 - npdiag)
+    frough = (1.0 - w)[:, None] * npch
+    onehot = jax.nn.one_hot(ch, fpost.shape[-1], dtype=jnp.bool_)
+    under = (frough < fpost * minratio) & ~onehot
+    rough = (fmax >= minf) & ~jnp.any(under, axis=-1)
+    v_exact = fpost @ eigeninv.T
+    w_invstat = w * statinv[ch]
+    v_rough = w_invstat[:, None] * code_freq_n[ch] + (1.0 - w)[:, None] * near_freq[ch]
+    v_out = jnp.where(rough[:, None], v_rough, v_exact)
+    live = ~both_gap
+    n_rough = jnp.sum((rough & live).astype(jnp.float32))
+    n_exact = jnp.sum((~rough & live).astype(jnp.float32))
+    return w_out, v_out, n_rough, n_exact
 
 
 def posterior_jc(f1, f2, w1, w2, psame1, pdiff1, psame2, pdiff2, ratecat):

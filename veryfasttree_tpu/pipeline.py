@@ -293,6 +293,9 @@ def _report_stats(options, nj, sc, n_seq, n_uniq, ml_nni_to_do, progress, log):
     quality, and the debug-counter fingerprint of heuristic behavior."""
     if log is None:
         return
+    ml_store = getattr(nj, "ml", None)
+    if ml_store is not None:
+        ml_store.flush_posterior_counters()
     d = nj.debug
     line = (f"Total time: {progress.clock_diff():.2f} seconds "
             f"Unique: {n_uniq}/{n_seq} "
