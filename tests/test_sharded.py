@@ -87,3 +87,57 @@ def test_out_profile_sharded_matches():
 def test_training_step_runs_on_mesh():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+# --- pipeline-level mesh integration -----------------------------------------
+# The engine's profile stores carry NamedShardings when -mesh-sp/-mesh-dp are
+# given (positions on 'sp', rows on 'dp'); GSPMD inserts the collectives.
+# The -noml result must be bit-identical across mesh shapes.
+
+def _run_pipeline_mesh(fasta_text, mesh_sp=None, mesh_dp=1, **kw):
+    import io
+
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    opts = Options(show_progress=False, n_codes=4, n_bootstrap=0,
+                   mesh_sp=mesh_sp, mesh_dp=mesh_dp, **kw)
+    opts.derive_settings()
+    out = io.StringIO()
+    import io as _io
+    nj, _ = run_pipeline(opts, _io.StringIO(fasta_text), out, log_fp=None)
+    return out.getvalue().strip(), nj
+
+
+def _synth_fasta(n=48, p=200, seed=5):
+    import random
+    rng = random.Random(seed)
+    alpha = "ACGT"
+    founder = [rng.choice(alpha) for _ in range(p)]
+    seqs = [founder]
+    while len(seqs) < n:
+        parent = seqs[rng.randrange(len(seqs))]
+        seqs.append([c if rng.random() > 0.12 else rng.choice(alpha)
+                     for c in parent])
+    return "".join(f">s{i}\n{''.join(s)}\n" for i, s in enumerate(seqs))
+
+
+def test_pipeline_noml_bit_identical_across_mesh_shapes():
+    fasta = _synth_fasta()
+    base, _ = _run_pipeline_mesh(fasta, ml_nni=0)
+    for dp, sp in [(1, 8), (2, 4), (4, 2)]:
+        nw, nj = _run_pipeline_mesh(fasta, mesh_sp=sp, mesh_dp=dp, ml_nni=0)
+        assert nw == base, f"mesh dp={dp} sp={sp} changed the -noml Newick"
+        # the position axis is genuinely sharded, not replicated
+        shard_p = nj.prof.U.addressable_shards[0].data.shape[1]
+        assert shard_p * sp == nj.prof.U.shape[1]
+
+
+def test_pipeline_ml_topology_stable_on_mesh():
+    from util import rf_distance
+
+    fasta = _synth_fasta(n=20, p=150, seed=6)
+    base, _ = _run_pipeline_mesh(fasta)
+    nw, nj = _run_pipeline_mesh(fasta, mesh_sp=4, mesh_dp=2)
+    assert rf_distance(base, nw)[0] == 0
+    assert nj.ml.V.addressable_shards[0].data.shape[1] * 4 == nj.ml.V.shape[1]

@@ -219,9 +219,11 @@ class MLProfiles:
         V = np.tile(np.asarray(self.gap_vec)[None, None, :],
                     (n_rows, self.p_pad, 1)).astype(dtype)
         V[: nj.n_seqs] = cfn[safe]
-        self.codes = jnp.asarray(codes)
-        self.W = jnp.asarray(W)
-        self.V = jnp.asarray(V)
+        from .profiles import _shard_put
+        self.mesh = getattr(opts, "mesh", None)
+        self.codes = _shard_put(codes, self.mesh, (None, "sp"))
+        self.W = _shard_put(W, self.mesh, ("dp", "sp"))
+        self.V = _shard_put(V, self.mesh, ("dp", "sp", None))
         self.recompute_average_profiles()
 
     def set_transmat(self, transmat) -> None:

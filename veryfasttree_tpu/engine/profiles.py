@@ -87,7 +87,8 @@ def _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier):
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_all(codes, W, U, uq, wq, n_seqs, eigenval, code_freq, use_matrix,
               two_tier, up=None):
-    """One query vs ALL rows -> (dist, denom) ordered by row index."""
+    """One query vs ALL rows -> concat [dist, denom] ordered by row index
+    (single packed vector = single blocking fetch over the device tunnel)."""
     ev = eigenval if use_matrix else None
     if up is not None:
         uq = uq.astype(up)
@@ -98,12 +99,12 @@ def _dist_all(codes, W, U, uq, wq, n_seqs, eigenval, code_freq, use_matrix,
         if ev is not None:
             ev = ev.astype(up)
     if not two_tier:
-        return kernels.me_dist_many(U, W, uq, wq, ev)
+        d, w = kernels.me_dist_many(U, W, uq, wq, ev)
+        return jnp.concatenate([d, w])
     d_leaf, w_leaf = kernels.me_dist_many_codes(
         codes[:n_seqs], uq, wq, ev, code_freq, uq.dtype)
     d_int, w_int = kernels.me_dist_many(U, W, uq, wq, ev)
-    return (jnp.concatenate([d_leaf, d_int]),
-            jnp.concatenate([w_leaf, w_int]))
+    return jnp.concatenate([d_leaf, d_int, w_leaf, w_int])
 
 
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
@@ -127,7 +128,8 @@ def _dist_many_vs_leaves(codes, W, U, rows, n_seqs, eigenval, code_freq,
     if two_tier:
         f = jax.vmap(lambda u, w: kernels.me_dist_many_codes(
             codes[:n_seqs], u, w, ev, code_freq, u.dtype))
-        return f(uq, wq)
+        dist, denom = f(uq, wq)
+        return jnp.concatenate([dist, denom])
     Wl = W[:n_seqs]
     Ul = U[:n_seqs]
     denom = wq @ Wl.T                                    # [K, n_seqs]
@@ -137,30 +139,34 @@ def _dist_many_vs_leaves(codes, W, U, rows, n_seqs, eigenval, code_freq,
     else:
         top = denom - uq.reshape(K, -1) @ Ul.reshape(n_seqs, -1).T
     dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
-    return dist, denom
+    return jnp.concatenate([dist, denom])
 
 
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
                  use_matrix, two_tier, up=None):
+    """Query vs gathered rows -> concat [dist, denom] (one packed fetch)."""
     _, Wj, Uj = _rows_cwu(codes, W, U, js, code_freq, n_seqs, two_tier)
     ev = eigenval if use_matrix else None
     if up is not None:
         Uj, Wj, uq, wq = (x.astype(up) for x in (Uj, Wj, uq, wq))
         ev = ev.astype(up) if ev is not None else None
-    return kernels.me_dist_many(Uj, Wj, uq, wq, ev)
+    d, w = kernels.me_dist_many(Uj, Wj, uq, wq, ev)
+    return jnp.concatenate([d, w])
 
 
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_rows(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
                use_matrix, two_tier, up=None):
+    """Row-pair distances -> concat [dist, denom] (one packed fetch)."""
     _, W1, U1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
     _, W2, U2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
     ev = eigenval if use_matrix else None
     if up is not None:
         U1, W1, U2, W2 = (x.astype(up) for x in (U1, W1, U2, W2))
         ev = ev.astype(up) if ev is not None else None
-    return kernels.me_dist_rows(U1, W1, U2, W2, ev)
+    d, w = kernels.me_dist_rows(U1, W1, U2, W2, ev)
+    return jnp.concatenate([d, w])
 
 
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
@@ -285,6 +291,20 @@ def _avg_rows(codes, W, U, iis, jjs, bws, n_seqs, code_freq, eigenval,
     return c, w, u
 
 
+def _shard_put(x, mesh, spec):
+    """device_put with a NamedSharding when a mesh is live, else plain asarray.
+
+    This is the whole multi-chip integration contract for the stores: the big
+    arrays carry NamedShardings (positions on 'sp', rows on 'dp') and GSPMD
+    propagates them through every jitted kernel, inserting psum/all-gather
+    collectives for the cross-position contractions (SURVEY.md section 5.8's
+    mapping of the reference's OpenMP loops onto XLA collectives)."""
+    if mesh is None:
+        return jnp.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 class MEProfiles:
     def __init__(self, leaf_codes: np.ndarray, options, dmat, maxnodes: int,
                  two_tier: bool | None = None):
@@ -315,14 +335,19 @@ class MEProfiles:
             self.eigentot = jnp.ones(self.n_codes, dtype=dtype)
 
         self.maxnodes = maxnodes
+        self.mesh = getattr(options, "mesh", None)
         from ..ops.pallas_kernels import TILE_M
         n_rows = ((2 * maxnodes + TILE_M - 1) // TILE_M) * TILE_M
         self.n_rows = n_rows
         codes = np.full((n_rows, self.p_pad), NOCODE, dtype=np.int8)
         codes[:n_seqs, :n_pos] = leaf_codes
-        self.codes = jnp.asarray(codes)
+        self.codes = _shard_put(codes, self.mesh, (None, "sp"))
 
+        # two-tier float rows are TILE_M-aligned so the Pallas internal scan
+        # can tile them directly (extra rows stay all-zero and are masked)
         n_float_rows = n_rows - n_seqs if self.two_tier else n_rows
+        if self.two_tier:
+            n_float_rows = ((n_float_rows + TILE_M - 1) // TILE_M) * TILE_M
         W = np.zeros((n_float_rows, self.p_pad), dtype=dtype)
         U = np.zeros((n_float_rows, self.p_pad, self.n_codes), dtype=dtype)
         if not self.two_tier:
@@ -330,8 +355,8 @@ class MEProfiles:
             cf = np.asarray(self.code_freq)
             safe = np.where(leaf_codes == NOCODE, 0, leaf_codes).astype(np.int32)
             U[:n_seqs, :n_pos] = cf[safe] * (leaf_codes != NOCODE)[..., None]
-        self.W = jnp.asarray(W)
-        self.U = jnp.asarray(U)
+        self.W = _shard_put(W, self.mesh, ("dp", "sp"))
+        self.U = _shard_put(U, self.mesh, ("dp", "sp", None))
         self.n_gaps = np.asarray((leaf_codes == NOCODE).sum(axis=1), dtype=np.int64)
         self.w_out = None
         self.f_out = None
@@ -350,7 +375,8 @@ class MEProfiles:
     # -- out-profile ---------------------------------------------------------
     def recompute_outprofile(self, active_mask: np.ndarray) -> None:
         self.out_version += 1
-        full = np.zeros(self.n_rows, dtype=bool)
+        full = np.zeros(max(self.n_rows, self.n_seqs + self.U.shape[0]),
+                        dtype=bool)
         full[: len(active_mask)] = active_mask
         mask_leaf = jnp.asarray(full[: self.n_seqs])
         n_int = self.U.shape[0]
@@ -389,46 +415,61 @@ class MEProfiles:
     def dist_one_vs_all(self, i: int):
         from ..ops import pallas_kernels as pk
         uq, wq = self.row_query(i)
-        if (not self.two_tier and pk._have_pallas_tpu()
-                and self.U.shape[0] % pk.TILE_M == 0 and self.p_pad % 128 == 0):
+        pallas_ok = (pk._have_pallas_tpu() and self.p_pad % 128 == 0
+                     and (self.p_pad * self.n_codes) % 128 == 0
+                     and self.U.shape[0] % pk.TILE_M == 0)
+        if pallas_ok and self.two_tier:
+            # fused two-tier scan: leaves stream as int8 codes, one HBM pass
+            _, _, d, w, _ = pk.nj_scan_two_tier(
+                self.codes, self.W, self.U, uq, wq,
+                jnp.zeros(self.n_seqs + self.U.shape[0], dtype=self.dtype), 3,
+                self.n_seqs,
+                self.eigenval if self.use_matrix else None, self.code_freq)
+        elif pallas_ok:
             # fused Pallas scan: one pass over HBM for dist+denom
             _, _, d, w, _ = pk.nj_scan(
                 self.U, self.W, uq, wq,
                 jnp.zeros(self.U.shape[0], dtype=self.dtype), 3,
                 np.asarray(self.eigenval) if self.use_matrix else None)
         else:
-            d, w = _dist_all(self.codes, self.W, self.U, uq, wq, self.n_seqs,
-                             self.eigenval, self.code_freq, self.use_matrix,
-                             self.two_tier, _accum_dtype())
+            out = np.asarray(_dist_all(
+                self.codes, self.W, self.U, uq, wq, self.n_seqs,
+                self.eigenval, self.code_freq, self.use_matrix,
+                self.two_tier, _accum_dtype()), dtype=np.float64)
+            half = len(out) // 2
+            return out[:half], out[half:]
         return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
 
     def dist_many_vs_leaves(self, rows: np.ndarray):
         """Wave seed scan: [K] query rows vs all leaves -> (dist, weight)
         numpy arrays of shape [K, n_seqs]."""
         rpad, n = _pad_pow2(np.asarray(rows, dtype=np.int64))
-        d, w = _dist_many_vs_leaves(
+        out = np.asarray(_dist_many_vs_leaves(
             self.codes, self.W, self.U, jnp.asarray(rpad), self.n_seqs,
             self.eigenval, self.code_freq, self.use_matrix, self.two_tier,
-            _accum_dtype())
-        return (np.asarray(d, dtype=np.float64)[:n],
-                np.asarray(w, dtype=np.float64)[:n])
+            _accum_dtype()), dtype=np.float64)
+        K = len(rpad)
+        return out[:n], out[K: K + n]
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
         uq, wq = self.row_query(i)
         jpad, n = _pad_pow2(np.asarray(js, dtype=np.int64))
-        d, w = _dist_gather(self.codes, self.W, self.U, jnp.asarray(jpad), uq,
-                            wq, self.n_seqs, self.eigenval, self.code_freq,
-                            self.use_matrix, self.two_tier, _accum_dtype())
-        return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
+        out = np.asarray(_dist_gather(
+            self.codes, self.W, self.U, jnp.asarray(jpad), uq, wq,
+            self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
+            self.two_tier, _accum_dtype()), dtype=np.float64)
+        K = len(jpad)
+        return out[:n], out[K: K + n]
 
     def dist_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
-        d, w = _dist_rows(self.codes, self.W, self.U, jnp.asarray(ipad),
-                          jnp.asarray(jpad), self.n_seqs, self.eigenval,
-                          self.code_freq, self.use_matrix, self.two_tier,
-                          _accum_dtype())
-        return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
+        out = np.asarray(_dist_rows(
+            self.codes, self.W, self.U, jnp.asarray(ipad), jnp.asarray(jpad),
+            self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
+            self.two_tier, _accum_dtype()), dtype=np.float64)
+        K = len(ipad)
+        return out[:n], out[K: K + n]
 
     def dist_pieces_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         """[K, n_pos] weighted distance pieces + weights for bootstrap resampling."""
@@ -461,10 +502,12 @@ class MEProfiles:
         """profileDist(node, outprofile) for a set of nodes -> (dist, weight)."""
         uq, wq = self.out_query()
         ipad, n = _pad_pow2(np.asarray(idx, dtype=np.int64))
-        d, w = _dist_gather(self.codes, self.W, self.U, jnp.asarray(ipad), uq,
-                            wq, self.n_seqs, self.eigenval, self.code_freq,
-                            self.use_matrix, self.two_tier, _accum_dtype())
-        return np.asarray(d, dtype=np.float64)[:n], np.asarray(w, dtype=np.float64)[:n]
+        out = np.asarray(_dist_gather(
+            self.codes, self.W, self.U, jnp.asarray(ipad), uq, wq,
+            self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
+            self.two_tier, _accum_dtype()), dtype=np.float64)
+        K = len(ipad)
+        return out[:n], out[K: K + n]
 
     # -- profile construction ------------------------------------------------
     def join(self, i: int, j: int, newnode: int, bionj_weight: float):

@@ -103,6 +103,9 @@ class Options:
     # candidate/data axis ("dp"); None = use all of jax.devices() on sp.
     mesh_sp: Optional[int] = None
     mesh_dp: int = 1
+    # Live jax.sharding.Mesh built from mesh_sp/mesh_dp by the pipeline
+    # (parallel.mesh.mesh_from_options); None = single-device.
+    mesh: Optional[object] = None
     # Pad positions up to a multiple of this for MXU-friendly tiles.
     position_align: int = 128
     # Leaf storage tier: at >= this many unique sequences, leaves live as int8

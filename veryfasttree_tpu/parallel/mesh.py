@@ -24,3 +24,23 @@ def make_mesh(n_sp: int | None = None, n_dp: int = 1, devices=None) -> Mesh:
     assert n_sp * n_dp <= len(devs), (n_sp, n_dp, len(devs))
     grid = np.array(devs[: n_sp * n_dp]).reshape(n_dp, n_sp)
     return Mesh(grid, axis_names=("dp", "sp"))
+
+
+def mesh_from_options(options) -> Mesh | None:
+    """Build the engine mesh requested by -mesh-sp / -mesh-dp, or None for
+    single-device execution (the default when neither flag is given -- the
+    mesh is opt-in so single-chip runs and the CPU parity suite stay on the
+    unsharded code path)."""
+    sp = getattr(options, "mesh_sp", None)
+    dp = getattr(options, "mesh_dp", 1) or 1
+    if sp is None and dp <= 1:
+        return None
+    devs = jax.devices()
+    if sp is None:
+        sp = max(1, len(devs) // dp)
+    if sp * dp <= 1:
+        return None
+    if sp * dp > len(devs):
+        raise ValueError(f"mesh {dp}x{sp} needs {sp * dp} devices, "
+                         f"have {len(devs)}")
+    return make_mesh(n_sp=sp, n_dp=dp)

@@ -124,6 +124,25 @@ def _try_native_read(options):
     return names, codes[np.array(uniq_rows)], unique
 
 
+def _enable_compilation_cache():
+    """Persist compiled XLA executables across processes (the remote TPU
+    backend pays 20-40 s per fresh compile; the join loop touches dozens of
+    pow2-padded shapes, so cold starts dominated setup time without this)."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "VFT_JAX_CACHE", os.path.expanduser("~/.cache/vft_jax_cache"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 -- cache is an optimization only
+        pass
+
+
 def run_pipeline(options, input_fp, output_fp, log_fp=None):
     """The full inference pipeline.  With -n > 1, analyzes multiple
     alignments from the same (phylip) stream (ref main.cpp:89, "global
@@ -141,6 +160,10 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
     # near-tie join/NNI decisions need full f32 matmul accumulation on TPU
     # (default is bfloat16 inputs); the Pallas kernels already run HIGHEST.
     jax.config.update("jax_default_matmul_precision", "highest")
+    _enable_compilation_cache()
+    if options.mesh is None:
+        from .parallel.mesh import mesh_from_options
+        options.mesh = mesh_from_options(options)
     log = log_fp
     progress = ProgressReport(options.show_progress, options.verbose,
                               options.relative_progress)
