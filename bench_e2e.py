@@ -84,6 +84,35 @@ def run_reference(fasta, threads=None):
     return t
 
 
+def bench_ml(n=250, p=500):
+    """ML-NNI rounds/hr (BASELINE.md metric): build the ME tree, switch the
+    store to ML, time the full ML phase (NNI rounds + CAT rates + final
+    branch lengths) via run_ml_phase on whatever backend is live."""
+    import io
+    import math
+
+    from veryfasttree_tpu.engine import ml as ml_mod
+    from veryfasttree_tpu.engine.nj import NeighbourJoining
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import _enable_compilation_cache
+    from veryfasttree_tpu.utils.progress import ProgressReport
+
+    _enable_compilation_cache()
+    codes = synth_codes(n, p)
+    opts = Options(n_codes=4, show_progress=False)
+    opts.derive_settings()
+    nj = NeighbourJoining(opts, codes, None, None)
+    nj.fast_nj()
+    from veryfasttree_tpu.engine import rearrange
+    rearrange.update_branch_lengths(nj)
+    rounds = int(0.5 + 2.0 * math.log2(n))
+    progress = ProgressReport(False, 0, False)
+    t0 = time.perf_counter()
+    ml_mod.run_ml_phase(nj, rounds, n, progress, io.StringIO())
+    t_ml = time.perf_counter() - t0
+    return rounds, t_ml
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 10000
@@ -93,9 +122,21 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     two_tier = True if "--two-tier" in sys.argv else None
 
-    codes = synth_codes(n, p)
     import jax
     backend = jax.default_backend()
+
+    if "--ml" in sys.argv:
+        rounds, t_ml = bench_ml(n if args else 250, p if len(args) > 1 else 500)
+        print(json.dumps({
+            "metric": f"ML phase (NNI rounds + CAT + lengths, N={n if args else 250}, {backend})",
+            "value": round(rounds / (t_ml / 3600.0), 2),
+            "unit": "ML-NNI rounds/hr",
+            "ml_phase_s": round(t_ml, 2),
+            "rounds": rounds,
+        }))
+        return
+
+    codes = synth_codes(n, p)
     print(f"# N={n} P={p} backend={backend}", file=sys.stderr)
 
     nj, t_setup, t_join = run_ours(codes, two_tier=two_tier)

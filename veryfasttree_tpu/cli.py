@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-two-tier-min", type=int, default=20000, metavar="n",
       help="store leaves as int8 codes only (16x HBM cut) at >= n unique "
            "sequences; 0 forces two-tier, -1 disables it")
+    a("-checkpoint", default="", metavar="file", dest="checkpoint",
+      help="array-state checkpoint file: saved after every ML-NNI round; "
+           "if present at startup the run resumes from it")
     return p
 
 
@@ -273,6 +276,7 @@ def args_to_options(ns) -> Options:
     opts.mesh_sp = getattr(ns, "mesh_sp")
     opts.mesh_dp = getattr(ns, "mesh_dp")
     opts.two_tier_min = getattr(ns, "two_tier_min")
+    opts.checkpoint_file = ns.checkpoint
     return opts
 
 

@@ -722,9 +722,19 @@ def test_splits_ml(nj, progress=None) -> SplitCount:
 # ---------------------------------------------------------------------------
 
 
-def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=None):
+def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log,
+                 log_tree=None, resume=None):
+    """resume: (meta, extra) from checkpoint.load_checkpoint -- restarts the
+    ML-NNI loop at the saved round with the saved rates/stats/convergence
+    state (array-state checkpointing, SURVEY.md section 5.4)."""
     opts = nj.options
-    nj.ml = MLProfiles(nj, nj.transmat)
+    ckpt_path = getattr(opts, "checkpoint_file", "")
+    if resume is not None:
+        meta, extra = resume
+        if not meta.get("has_ml"):
+            resume = None  # checkpoint predates the ML phase; start it fresh
+    if resume is None:
+        nj.ml = MLProfiles(nj, nj.transmat)
     if opts.threads > 1:
         from . import batched
         do_nni_fn = batched.do_nni_batched
@@ -735,7 +745,34 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
     reset_gtr = opts.n_codes == 4 and opts.use_gtr and not opts.use_gtr_rates
     stats = rearrange.NNIStats.init(nj)
 
-    if opts.ml_len:
+    def save_ckpt(phase, i_round, last_loglk, converged, cur_stats):
+        if not ckpt_path:
+            return
+        from .checkpoint import save_checkpoint
+        save_checkpoint(nj, ckpt_path,
+                        {"phase": phase, "round": i_round,
+                         "last_loglk": last_loglk, "converged": converged,
+                         "ml_nni_to_do": ml_nni_to_do},
+                        extra={"stats_age": cur_stats.age,
+                               "stats_subtree_age": cur_stats.subtree_age,
+                               "stats_delta": cur_stats.delta,
+                               "stats_support": cur_stats.support})
+
+    start_round = 0
+    resume_last_loglk = -1e20
+    resume_converged = False
+    if resume is not None and meta.get("phase") == "ml_nni":
+        start_round = int(meta["round"])
+        resume_last_loglk = float(meta["last_loglk"])
+        resume_converged = bool(meta["converged"])
+        stats = rearrange.NNIStats(
+            extra["stats_age"], extra["stats_subtree_age"],
+            extra["stats_delta"], extra["stats_support"])
+        if log is not None:
+            print(f"Resuming ML-NNI at round {start_round + 1} from "
+                  f"checkpoint {ckpt_path}", file=log)
+
+    if opts.ml_len and resume is None:
         max_round = int(0.5 + math.log2(max(n_uniq, 2)))
         last_loglk = -1e20
         for i_round in range(1, max_round + 1):
@@ -762,12 +799,12 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
                 break
             last_loglk = loglk
 
-    if ml_nni_to_do > 0:
+    if ml_nni_to_do > 0 and start_round == 0:
         opt_lengths_fn(nj)
 
-    last_loglk = -1e20
-    converged = False
-    for i in range(ml_nni_to_do):
+    last_loglk = resume_last_loglk
+    converged = resume_converged
+    for i in range(start_round, ml_nni_to_do):
         changes, max_delta = do_nni_fn(nj, i, ml_nni_to_do, True, stats)
         if log_tree:
             log_tree("ML_NNI%d", i + 1)
@@ -796,6 +833,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log, log_tree=Non
                            progress)
             set_ml_rates(nj, progress)
             log_ml_rates(nj, log)
+        save_ckpt("ml_nni", i + 1, last_loglk, converged, stats)
 
     if ml_nni_to_do > 0:
         opt_lengths_fn(nj)

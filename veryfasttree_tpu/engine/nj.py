@@ -389,8 +389,12 @@ class NeighbourJoining:
         return best
 
     # ------------------------------------------------------------- join loop
-    def fast_nj(self) -> None:
-        """The main join loop (ref fastNJ tcc:2796-3155)."""
+    def fast_nj(self, max_joins: Optional[int] = None) -> None:
+        """The main join loop (ref fastNJ tcc:2796-3155).
+
+        max_joins: stop after this many joins leaving the tree unfinished
+        (benchmark / large-N smoke-test hook; None = run to the 3-star root).
+        """
         opts = self.options
         tree = self.tree
         n_seqs = self.n_seqs
@@ -425,6 +429,8 @@ class NeighbourJoining:
 
         n_active_out_profile_reset = n_seqs
         for n_active in range(n_seqs, 3, -1):
+            if max_joins is not None and n_seqs - n_active >= max_joins:
+                return
             if self.progress is not None:
                 done = n_seqs - n_active
                 if done > 0 and done % 100 == 0:

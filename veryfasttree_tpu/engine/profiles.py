@@ -291,6 +291,48 @@ def _avg_rows(codes, W, U, iis, jjs, bws, n_seqs, code_freq, eigenval,
     return c, w, u
 
 
+def hbm_plan(n_seqs: int, n_pos: int, n_codes: int = 4,
+             double_precision: bool = False, two_tier: bool | None = None,
+             n_devices: int = 1, position_align: int = 128,
+             tile_m: int = 256) -> dict:
+    """HBM budget of the ME profile store for (N, P, C, devices) -- the fit
+    formula replacing the reference's DiskMemory spill planning (ref
+    src/DiskMemory.cpp:45-124; SURVEY.md section 5.7).
+
+    Row layout: n_rows = 2*maxnodes = 4*N rows (node + up-profile slots).
+    two-tier: leaves live as int8 codes only; float rows cover the 3*N
+    internal/up rows.  Position sharding ('sp') divides every per-position
+    axis across devices, so per_device_bytes is the number that must fit one
+    chip's HBM (16 GiB on v5e).
+
+    Example (the 1M-taxa CSD north star, P~1300, nt, fp32, two-tier):
+    total ~87 GB -> ~11 GB/chip on an 8-chip v5e slice.
+    """
+    if two_tier is None:
+        two_tier = n_seqs >= 20000
+    esz = 8 if double_precision else 4
+    p_pad = ((n_pos + position_align - 1) // position_align) * position_align
+    maxnodes = 2 * n_seqs
+    n_rows = ((2 * maxnodes + tile_m - 1) // tile_m) * tile_m
+    codes_b = n_rows * p_pad  # int8
+    if two_tier:
+        n_float = n_rows - n_seqs
+        n_float = ((n_float + tile_m - 1) // tile_m) * tile_m
+    else:
+        n_float = n_rows
+    w_b = n_float * p_pad * esz
+    u_b = n_float * p_pad * n_codes * esz
+    out_b = p_pad * (n_codes + 1) * esz
+    total = codes_b + w_b + u_b + out_b
+    return {
+        "n_rows": n_rows, "p_pad": p_pad, "two_tier": two_tier,
+        "codes_bytes": codes_b, "w_bytes": w_b, "u_bytes": u_b,
+        "total_bytes": total,
+        "per_device_bytes": total // max(n_devices, 1),
+        "fits_v5e_chip": total // max(n_devices, 1) < 15 * 2**30,
+    }
+
+
 def _shard_put(x, mesh, spec):
     """device_put with a NamedSharding when a mesh is live, else plain asarray.
 

@@ -326,75 +326,11 @@ def _scan_two_tier_jit(codes, W_int, U_int, uq, wq, outd, n_active, eigenval,
     return best_idx, best_crit, dist, denom, crit
 
 
-# ---------------------------------------------------------------------------
-# Per-site pair log-likelihood kernel (ref pairLogLk NeighbourJoining.tcc:
-# 1192-1447): lk[p] = sum_c f1[p,c] f2[p,c] ee[p,c]; loglk = sum_p log lk[p].
-# One fused VPU pass per batch row; the log-sum never leaves VMEM.
-# ---------------------------------------------------------------------------
-
-TILE_P = 512
-
-
-def _loglk_kernel(f1_ref, f2_ref, ee_ref, out_ref, acc_scratch):
-    """Mask handling: the wrapper zeroes masked positions in f1 and appends a
-    bias channel carrying (1 - mask), so lk == 1 exactly there."""
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc_scratch[0] = jnp.float32(0.0)
-
-    # layout: channels on sublanes, positions on lanes -> [C, TILE_P]
-    x = f1_ref[0] * f2_ref[0] * ee_ref[0]
-    lk = jnp.sum(x, axis=0, keepdims=True)       # [1, TILE_P]
-    acc_scratch[0] += jnp.sum(jnp.log(jnp.maximum(lk, 1e-37)))
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _():
-        out_ref[b, 0] = acc_scratch[0]
-
-
-@jax.jit
-def _pair_loglk_pallas(F1, F2, EE):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, C, P = F1.shape
-    grid = (B, P // TILE_P)
-    return pl.pallas_call(
-        _loglk_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
-                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
-                pl.BlockSpec((1, C, TILE_P), lambda b, j: (b, 0, j)),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
-    )(F1, F2, EE)[:, 0]
-
-
-def pair_loglk_batch(F1, F2, EE, mask):
-    """Batched pair log-likelihoods.  F1/F2/EE: [B, P, C] effective vectors and
-    exp-eigen factors; mask: [B, P] (1 = contribute).  Returns loglk [B]."""
-    B, P, C = F1.shape
-    if _have_pallas_tpu() and P % TILE_P == 0:
-        m = mask.astype(jnp.float32)[..., None]
-        inv = 1.0 - m
-        f1p = jnp.concatenate([F1.astype(jnp.float32) * m, inv], axis=-1)
-        f2p = jnp.concatenate([F2.astype(jnp.float32), jnp.ones_like(inv)], axis=-1)
-        eep = jnp.concatenate([EE.astype(jnp.float32), jnp.ones_like(inv)], axis=-1)
-        # channels on sublanes, positions on lanes
-        return _pair_loglk_pallas(f1p.transpose(0, 2, 1), f2p.transpose(0, 2, 1),
-                                  eep.transpose(0, 2, 1))
-    lk = jnp.einsum("bpc,bpc,bpc->bp", F1, F2, EE)
-    lk = jnp.where(mask > 0, lk, 1.0)
-    return jnp.sum(jnp.log(jnp.maximum(lk, 1e-37)), axis=-1)
+# NOTE: an earlier revision carried a Pallas per-site pair-log-likelihood
+# kernel here (lk[p] = sum_c f1 f2 ee; loglk = sum_p log lk).  It was removed
+# rather than wired in: the op is a pure elementwise-multiply + reduce that
+# XLA already emits as a single HBM-pass reduce fusion (verified identical
+# traffic on TPU), and the engine's call sites (ml_profiles._pair_loglk*,
+# the device Brent) also need the per-site lk vector for SH resampling --
+# which the scalar-only kernel could not provide.  The fused scans above are
+# where Pallas earns its keep (criterion+argmin riding the matvec).

@@ -106,6 +106,11 @@ class Options:
     # Live jax.sharding.Mesh built from mesh_sp/mesh_dp by the pipeline
     # (parallel.mesh.mesh_from_options); None = single-device.
     mesh: Optional[object] = None
+    # Array-state checkpoint file: written after every ML-NNI round; if it
+    # exists at startup, the run resumes from it (tree + profile stores +
+    # rates + NNI aging state).  Empty = disabled; the reference's
+    # tree-as-checkpoint contract (-log + -intree) works regardless.
+    checkpoint_file: str = ""
     # Pad positions up to a multiple of this for MXU-friendly tiles.
     position_align: int = 128
     # Leaf storage tier: at >= this many unique sequences, leaves live as int8

@@ -216,7 +216,19 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
                           progress=progress, names=names)
     n_uniq = len(unique.unique_seq)
 
-    if options.intree_file and not options.intree_file.startswith("*"):
+    # array-state checkpoint resume (SURVEY.md section 5.4): restores the
+    # tree + both profile stores + rates mid-ML-phase, skipping NJ/ME replay
+    resume = None
+    import os as _os
+    if options.checkpoint_file and _os.path.exists(options.checkpoint_file):
+        from .engine.checkpoint import load_checkpoint
+        resume = load_checkpoint(nj, options.checkpoint_file)
+        progress.print("Resumed from checkpoint")
+        if log is not None:
+            print(f"Resumed from checkpoint {options.checkpoint_file} "
+                  f"(phase {resume[0].get('phase')}, "
+                  f"round {resume[0].get('round')})", file=log)
+    elif options.intree_file and not options.intree_file.startswith("*"):
         with open(options.intree_file) as fp:
             text = fp.read()
         _load_intree(nj, text, name_to_idx, unique)
@@ -254,6 +266,9 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         from .engine import spr as _spr_mod
         do_nni_fn = rearrange.do_nni
         run_spr_fn = _spr_mod.run_spr
+    if resume is not None:
+        nni_to_do = 0
+        spr_remaining = 0
     if nni_to_do > 0 and n_uniq > 3:
         stats = rearrange.NNIStats.init(nj)
         converged = False
@@ -277,24 +292,26 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         log_tree("ME_SPR%d", options.spr - spr_remaining + 1)
         spr_remaining -= 1
 
-    if options.threads > 1 or not options.bionj:
-        # the level-batched path (one gathered distance dispatch for the whole
-        # tree) is value-identical to the serial walk whenever the ME
-        # up-profiles use the plain 0.5 average, i.e. whenever -bionj is off
-        from .engine import batched
-        batched.update_branch_lengths_batched(nj)
-    else:
-        rearrange.update_branch_lengths(nj)
-    log_tree("ME_Lengths", 0)
-    total_len = nj.total_len()
-    if options.verbose > 0 and log is not None:
-        print(f"Total branch-length {total_len:.3f} after {progress.clock_diff():.2f} sec",
-              file=log)
+    if resume is None:
+        if options.threads > 1 or not options.bionj:
+            # the level-batched path (one gathered distance dispatch for the
+            # whole tree) is value-identical to the serial walk whenever the
+            # ME up-profiles use the plain 0.5 average (-bionj off)
+            from .engine import batched
+            batched.update_branch_lengths_batched(nj)
+        else:
+            rearrange.update_branch_lengths(nj)
+        log_tree("ME_Lengths", 0)
+        total_len = nj.total_len()
+        if options.verbose > 0 and log is not None:
+            print(f"Total branch-length {total_len:.3f} after "
+                  f"{progress.clock_diff():.2f} sec", file=log)
 
     split_count = None
     if ml_nni_to_do > 0 or options.ml_len:
         from .engine import ml as ml_mod
-        split_count = ml_mod.run_ml_phase(nj, ml_nni_to_do, n_uniq, progress, log, log_tree)
+        split_count = ml_mod.run_ml_phase(nj, ml_nni_to_do, n_uniq, progress,
+                                          log, log_tree, resume=resume)
     else:
         from .engine import supports
         split_count = supports.test_splits_min_evo(nj)
