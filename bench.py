@@ -1,95 +1,83 @@
 #!/usr/bin/env python3
-"""Benchmark: profile-distance scan throughput (the NJ hot kernel).
+"""End-to-end benchmark: REAL joins/s of the NJ engine on the live backend.
 
-The dominant compute of VeryFastTree's NJ phase is the one-vs-many profile
-distance scan (setBestHit / setAllLeafTopHits seed scans, ref
-NeighbourJoining.tcc:3571-3646, 3746-4124): for each of ~N seed profiles,
-distances against all N profiles over all P positions.  In this framework that
-is a single [M, P*C] x [P*C, Q] GEMM on the MXU plus a [M, P] x [P, Q] GEMM
-for the weight denominators -- exactly what this bench times on the TPU.
+Runs the actual fast_nj join loop (search + fused join + top-hits
+maintenance, ref NeighbourJoining.tcc:2796-3155) on a founder-mutation
+synthetic alignment, and the reference binary (-noml -nosupport) on the SAME
+FASTA as the baseline.  This is BASELINE.md's primary metric (NJ joins/sec /
+wall-clock-to-tree) measured end-to-end, not a synthetic kernel.
 
-Baseline: the same contraction executed by host numpy/BLAS (the reference's
-AVX-on-CPU compute model).  vs_baseline = TPU throughput / host throughput.
+vs_baseline = our joins/s / the reference binary's joins/s on this host.
+NOTE the axon TPU backend adds ~27 ms tunnel latency to every blocking
+fetch, which bounds the serial join loop; see bench_e2e.py for backend
+comparisons and docs/SCALING.md for the latency math.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+ORACLE = os.environ.get("VFT_ORACLE", "/tmp/refbuild/VeryFastTree")
 
 
 def main():
+    from bench_e2e import synth_codes, write_fasta
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+
     import jax
-    import jax.numpy as jnp
+    backend = jax.default_backend()
 
-    M, P, C, Q = 4096, 1024, 4, 512
-    K = P * C
-    rng = np.random.default_rng(0)
-    V = rng.dirichlet(np.ones(C), size=(M, P)).astype(np.float32)
-    W = rng.uniform(0.5, 1.0, size=(M, P)).astype(np.float32)
-    U = (W[..., None] * V).reshape(M, K)
-    Uq = U[:Q].T.copy()  # [K, Q]
-    Wq = W[:Q].T.copy()  # [P, Q]
+    from veryfasttree_tpu.engine.nj import NeighbourJoining
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import _enable_compilation_cache
 
-    def make_chain(n_iter):
-        @jax.jit
-        def scan_chain(U, W, Uq, Wq):
-            # chain iterations through a non-factorable feedback (U^T @ dist)
-            # so XLA cannot hoist or algebraically fold the GEMMs out of the
-            # loop; consume the full dist matrix to defeat DCE.
-            def body(_, carry):
-                Uq, acc = carry
-                dots = U @ Uq        # [M, Q] position-summed piece dot products
-                denom = W @ Wq       # [M, Q] weights
-                dist = jnp.where(denom > 0,
-                                 (denom - dots) / jnp.where(denom > 0, denom, 1.0),
-                                 1.0)
-                Uq = Uq + (1e-9 / M) * (U.T @ dist)
-                Uq = Uq / jnp.max(jnp.abs(Uq))
-                return Uq, acc + dist.sum()
-            return jax.lax.fori_loop(0, n_iter, body, (Uq, jnp.float32(0)))[1]
-        return scan_chain
+    _enable_compilation_cache()
+    codes = synth_codes(n, p)
 
-    dU, dW, dUq, dWq = map(jnp.asarray, (U, W.reshape(M, P), Uq, Wq))
-    n1, n2 = 20, 60
-    f1, f2 = make_chain(n1), make_chain(n2)
-    float(f1(dU, dW, dUq, dWq))  # compile + warm
-    float(f2(dU, dW, dUq, dWq))
-    def timed(f):
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(dU, dW, dUq, dWq))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    ta = timed(f1)
-    tb = timed(f2)
-    # difference cancels the fixed dispatch/fetch latency of the tunnel
-    t_tpu = max(tb - ta, 1e-9) / (n2 - n1)
-
-    flops = 2.0 * M * Q * (2 * K + P)
-    tpu_gflops = flops / t_tpu / 1e9
-    scans_per_s = Q / t_tpu  # one "scan" = one seed's one-vs-all distance pass
-
-    # host numpy baseline (the reference's CPU compute model)
+    opts = Options(n_codes=4, show_progress=False)
+    opts.derive_settings()
     t0 = time.perf_counter()
-    n_np = 3
-    for _ in range(n_np):
-        dots = U @ Uq
-        denom = W.reshape(M, P) @ Wq
-        dist = np.where(denom > 0, (denom - dots) / np.where(denom > 0, denom, 1.0), 1.0)
-        Uq = Uq + (1e-9 / M) * (U.T @ dist)  # same feedback GEMM as the TPU chain
-    t_cpu = (time.perf_counter() - t0) / n_np
-    cpu_gflops = flops / t_cpu / 1e9
+    nj = NeighbourJoining(opts, codes, None, None)
+    t_setup = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nj.fast_nj()
+    t_join = time.perf_counter() - t0
+    joins = n - 3
+    joins_per_s = joins / t_join
 
-    print(json.dumps({
-        "metric": "profile-dist one-vs-all scans/s (N=4096, P=1024, nt)",
-        "value": round(scans_per_s, 1),
-        "unit": "scans/s",
-        "vs_baseline": round(tpu_gflops / cpu_gflops, 2),
-    }))
+    # reference binary on the same input (the upstream CPU implementation)
+    ref_joins_per_s = None
+    t_ref = None
+    if os.path.exists(ORACLE):
+        fasta = f"/tmp/bench_nj_{n}_{p}.fasta"
+        write_fasta(fasta, codes)
+        t0 = time.perf_counter()
+        res = subprocess.run(
+            [ORACLE, "-nt", "-noml", "-nosupport", "-nopr", fasta],
+            capture_output=True, text=True, timeout=36000)
+        if res.returncode == 0:
+            t_ref = time.perf_counter() - t0
+            ref_joins_per_s = joins / t_ref
+
+    out = {
+        "metric": f"NJ end-to-end joins/s (N={n}, P={p}, nt, {backend})",
+        "value": round(joins_per_s, 2),
+        "unit": "joins/s",
+        "vs_baseline": (round(joins_per_s / ref_joins_per_s, 3)
+                        if ref_joins_per_s else None),
+        "join_phase_s": round(t_join, 2),
+        "setup_s": round(t_setup, 2),
+        "reference_wall_s": round(t_ref, 2) if t_ref else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
