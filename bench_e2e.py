@@ -48,12 +48,24 @@ def write_fasta(path, codes):
             f.write(lut[row].tobytes() + b"\n")
 
 
+def warm_d2h():
+    """Open the d2h transfer channel before timing anything: the FIRST
+    device->host fetch of a process costs 30-300 s on the axon backend and
+    every later sync ~25 ms (see CLAUDE.md latency model)."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(8))
+    return time.perf_counter() - t0
+
+
 def run_ours(codes, two_tier=None, noml=True):
     from veryfasttree_tpu.engine.nj import NeighbourJoining
     from veryfasttree_tpu.options import Options
     from veryfasttree_tpu.pipeline import _enable_compilation_cache
 
     _enable_compilation_cache()
+    t_warm = warm_d2h()
+    print(f"# d2h channel warmup: {t_warm:.1f}s", file=sys.stderr)
     opts = Options(n_codes=4, show_progress=False)
     if two_tier is not None:
         opts.two_tier_min = 0 if two_tier else -1

@@ -37,6 +37,15 @@ import os as _os
 USE_FUSED_JOIN = _os.environ.get("VFT_FUSED_JOIN", "1") != "0"
 
 
+def _use_epoch() -> bool:
+    """Device join epochs: default on for accelerators, env-selectable."""
+    v = _os.environ.get("VFT_EPOCH")
+    if v is not None:
+        return v != "0"
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 @dataclass
 class Besthit:
     i: int = -1
@@ -420,8 +429,19 @@ class NeighbourJoining:
         if m > 0:
             from .tophits import TopHits
             tophits = TopHits(opts, self.maxnodes, m)
+            self._tophits = tophits  # exposed for tests / state inspection
             tophits.set_all_leaf_tophits(self)
             tophits.reset_top_visible(self, n_seqs)
+            # Device-resident join epochs: the whole loop in ONE dispatch
+            # (engine/epoch.py).  Default on accelerators (the host loop is
+            # latency-bound there); opt-in on CPU via VFT_EPOCH=1.
+            from . import epoch as epoch_mod
+            if epoch_mod.epoch_supported(self, tophits) and _use_epoch():
+                epoch_mod.run_epoch(self, tophits, max_joins)
+                if len(self.join_log) < n_seqs - 3:
+                    return  # max_joins stop: unfinished tree (bench hook)
+                self._root_three(tree)
+                return
         elif not opts.slow:
             visible = [None] * self.maxnodes
             for i in range(n_seqs):
@@ -560,7 +580,10 @@ class NeighbourJoining:
                         visible[i] = Besthit(i, newnode, float(weight[i]),
                                              float(dist[i]), float(crit[i]))
 
-        # root the 3 remaining nodes (ref tcc:3107-3135)
+        self._root_three(tree)
+
+    def _root_three(self, tree) -> None:
+        """Root the 3 remaining nodes (ref tcc:3107-3135)."""
         top = np.nonzero(self.active_mask())[0]
         assert len(top) == 3
         root = tree.maxnode
