@@ -141,3 +141,54 @@ def test_pipeline_ml_topology_stable_on_mesh():
     nw, nj = _run_pipeline_mesh(fasta, mesh_sp=4, mesh_dp=2)
     assert rf_distance(base, nw)[0] == 0
     assert nj.ml.V.addressable_shards[0].data.shape[1] * 4 == nj.ml.V.shape[1]
+
+
+def test_pipeline_mesh_invariant_without_x64(tmp_path):
+    """Regression for the r3 dryrun failure: dp=4 sp=2 flipped a near-tie
+    join when the process had NOT pre-enabled x64 (the driver environment).
+    run_pipeline must itself force f64 accumulation on CPU (the reference
+    accumulates in double even in float mode, ref tcc:1167-1190), so a fresh
+    f32 process still gets mesh-shape-invariant Newick."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "dryrun_noml.py"
+    script.write_text(
+        "import io, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "import jax\n"
+        "assert not jax.config.jax_enable_x64, 'env leaked x64'\n"
+        "from veryfasttree_tpu.options import Options\n"
+        "from veryfasttree_tpu.pipeline import run_pipeline\n"
+        "import random\n"
+        "rng = random.Random(7); alpha = 'ACGT'; n, p = 40, 200\n"
+        "founder = [rng.choice(alpha) for _ in range(p)]\n"
+        "seqs = [founder]\n"
+        "while len(seqs) < n:\n"
+        "    parent = seqs[rng.randrange(len(seqs))]\n"
+        "    seqs.append([c if rng.random() > 0.12 else rng.choice(alpha)"
+        " for c in parent])\n"
+        "fasta = ''.join(f'>s{i}\\n{\"\".join(s)}\\n'"
+        " for i, s in enumerate(seqs))\n"
+        "def run(sp=None, dp=1):\n"
+        "    o = Options(show_progress=False, n_codes=4, n_bootstrap=0,\n"
+        "                mesh_sp=sp, mesh_dp=dp, ml_nni=0)\n"
+        "    o.derive_settings()\n"
+        "    out = io.StringIO()\n"
+        "    run_pipeline(o, io.StringIO(fasta), out, log_fp=None)\n"
+        "    return out.getvalue().strip()\n"
+        "base = run()\n"
+        "for dp, sp in [(4, 2), (2, 4)]:\n"
+        "    assert run(sp, dp) == base, f'Newick differs on dp={dp} sp={sp}'\n"
+        "print('MESH_NOX64_OK')\n" % os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "JAX_ENABLE_X64")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run([sys.executable, str(script)], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "MESH_NOX64_OK" in res.stdout

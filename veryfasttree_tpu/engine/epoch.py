@@ -76,11 +76,24 @@ class EpochState(NamedTuple):
     blj: jax.Array
     nj_done: jax.Array     # i32
     # debug counters: [outprofile, profile, seq, avg, hill, visup, refresh]
-    ctr: jax.Array         # [8] i64
+    ctr: jax.Array         # [8, 2] u32 (lo, hi) -- see _ctr_add
 
 
 # counter slots
 C_OUT, C_PROF, C_SEQ, C_AVG, C_HILL, C_VISUP, C_REFRESH, C_TVRESET = range(8)
+
+
+def _ctr_add(ctr, slot, v):
+    """64-bit-exact counter add on a [8, 2] uint32 (lo, hi) array.
+
+    TPU jit has no int64 without x64 (requesting it truncates with a warning),
+    and int32 would wrap at 1M-taxa op counts (profile_ops is O(N*sqrt(N))),
+    so the debug tallies carry manually over a uint32 pair."""
+    v = jnp.asarray(v).astype(jnp.uint32)
+    lo_old = ctr[slot, 0]
+    lo = lo_old + v
+    hi = ctr[slot, 1] + (lo < lo_old).astype(jnp.uint32)
+    return ctr.at[slot, 0].set(lo).at[slot, 1].set(hi)
 
 
 @functools.partial(
@@ -155,7 +168,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         tgt = jnp.where(mask, nc, M)
         od = s.od.at[tgt].set(vals, mode="drop")
         noda = s.noda.at[tgt].set(na, mode="drop")
-        ctr = s.ctr.at[C_OUT].add(jnp.sum(mask))
+        ctr = _ctr_add(s.ctr, C_OUT, jnp.sum(mask))
         return s._replace(od=od, noda=noda, ctr=ctr)
 
     def scaled_out(s, x, na):
@@ -190,8 +203,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
     def count_pair_ops(s, iis, jjs, valid):
         leafpair = (iis < n_seqs) & (jjs < n_seqs) & valid
-        ctr = s.ctr.at[C_SEQ].add(jnp.sum(leafpair))
-        ctr = ctr.at[C_PROF].add(jnp.sum(valid & ~((iis < n_seqs) & (jjs < n_seqs))))
+        ctr = _ctr_add(s.ctr, C_SEQ, jnp.sum(leafpair))
+        ctr = _ctr_add(ctr, C_PROF, jnp.sum(valid & ~((iis < n_seqs) & (jjs < n_seqs))))
         return s._replace(ctr=ctr)
 
     def dist_crit(s, iis, jjs, na, valid, extra=None, extra_valid=None,
@@ -340,8 +353,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
             def apply(s):
                 jc = clip_ids(j)
-                ctr = s.ctr.at[C_VISUP].add(
-                    jnp.asarray(vvalid[k], dtype=jnp.int64))
+                ctr = _ctr_add(s.ctr, C_VISUP, vvalid[k])
                 s = s._replace(vis_j=s.vis_j.at[jc].set(newnode),
                                vis_d=s.vis_d.at[jc].set(kept_d[k]),
                                ctr=ctr)
@@ -381,7 +393,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         in_top0 = jnp.full((M,), INVALID, dtype=jnp.int32)
         (tv_new, _, _), _ = jax.lax.scan(
             step, (tv0, in_top0, jnp.int32(0)), jnp.arange(budget))
-        ctr = s.ctr.at[C_TVRESET].add(1)
+        ctr = _ctr_add(s.ctr, C_TVRESET, 1)
         return s._replace(tv=tv_new, tv_age=jnp.int32(0), ctr=ctr)
 
     def expand_visible(s, na):
@@ -475,7 +487,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
             s, ji, jj, jd, jc, changed = jax.lax.cond(
                 better_i, mis, nomis, (s, ji, jj, jd, jc))
-            ctr = s.ctr.at[C_HILL].add(jnp.asarray(changed, dtype=jnp.int64))
+            ctr = _ctr_add(s.ctr, C_HILL, changed)
             return s._replace(ctr=ctr), ji, jj, jd, jc, changed, it + 1
 
         def hill_cond(carry):
@@ -532,7 +544,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
             inner = jnp.where(ok, inner, 0.5)
             inner = jnp.clip(inner, 0.0, 1.0)
             bw = jnp.where(outer, inner, jnp.asarray(0.5, dtype=cd))
-            ctr = s.ctr.at[C_OUT].add(jnp.where(outer & ok, 2, 0))
+            ctr = _ctr_add(s.ctr, C_OUT, jnp.where(outer & ok, 2, 0))
             s = s._replace(ctr=ctr)
         else:
             bw = jnp.asarray(0.5, dtype=cd)
@@ -572,7 +584,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
                        ji=s.ji.at[k].set(i), jj=s.jj.at[k].set(j),
                        bli=s.bli.at[k].set(bl_i), blj=s.blj.at[k].set(bl_j),
                        nj_done=k + 1,
-                       ctr=s.ctr.at[C_AVG].add(1))
+                       ctr=_ctr_add(s.ctr, C_AVG, 1))
 
         # out-profile policy (ref tcc:3012-3037)
         changed = s.na_reset - (na - 1)
@@ -686,7 +698,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     def refresh_node(s, newnode, na):
         """Full top-hit refresh of newnode (ref topHitJoin :4438-4517)."""
         s = s._replace(age=s.age.at[newnode].set(0),
-                       ctr=s.ctr.at[C_REFRESH].add(1))
+                       ctr=_ctr_add(s.ctr, C_REFRESH, 1))
         nodes = jnp.arange(M, dtype=jnp.int32)
         act = is_active(s, nodes)
         # set_out_distance(active, na) non-forced
@@ -710,7 +722,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
                                                  w_new[0], ev_cd)
             d_all, wt_all = d_all[:M], wt_all[:M]
         dist = d_all - (s.diameter[newnode] + s.diameter)
-        s = s._replace(ctr=s.ctr.at[C_PROF].add(jnp.sum(act)))
+        s = s._replace(ctr=_ctr_add(s.ctr, C_PROF, jnp.sum(act)))
         crit = dist - (scaled_out(s, nodes, na)
                        + scaled_out(s, jnp.full((M,), newnode), na)) \
             / (na.astype(cd) - 2)
@@ -833,7 +845,7 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
         bli=jnp.zeros((n_joins,), dtype=cd),
         blj=jnp.zeros((n_joins,), dtype=cd),
         nj_done=jnp.int32(0),
-        ctr=jnp.zeros((8,), dtype=jnp.int64),
+        ctr=jnp.zeros((8, 2), dtype=jnp.uint32),
     )
 
     refresh_thresh = int(0.5 + m * opts.tophits_refresh)
@@ -878,7 +890,8 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
         nj.join_log.append((i, j))
 
     # host debug counters from the device tally
-    ctr = np.asarray(out.ctr)
+    c = np.asarray(out.ctr, dtype=np.uint64)
+    ctr = c[:, 0] + (c[:, 1] << np.uint64(32))
     nj.debug.outprofile_ops += int(ctr[C_OUT])
     nj.debug.profile_ops += int(ctr[C_PROF])
     nj.debug.seq_ops += int(ctr[C_SEQ])

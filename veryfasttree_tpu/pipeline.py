@@ -160,6 +160,16 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
     # near-tie join/NNI decisions need full f32 matmul accumulation on TPU
     # (default is bfloat16 inputs); the Pallas kernels already run HIGHEST.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # The reference accumulates profile contractions in double even in float
+    # mode (ref profileDist NeighbourJoining.tcc:1167-1190 declares `double
+    # top, denom` over float profiles), and join-order determinism across
+    # mesh shapes depends on it: f32 partial psums over different dp groupings
+    # round differently and can flip near-tie joins.  On CPU we therefore
+    # enable x64 so _accum_dtype() upcasts the contractions to f64 (stores
+    # stay f32); on TPU (no native f64) multi-chip determinism is tier-2
+    # equal-quality, not bit-exact -- see docs/PARITY.md.
+    if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
     _enable_compilation_cache()
     if options.mesh is None:
         from .parallel.mesh import mesh_from_options
