@@ -57,6 +57,12 @@ class EpochState(NamedTuple):
     vard: jax.Array
     totdiam: jax.Array     # scalar
     parent: jax.Array      # i32, -1 = active
+    # cached raw distances of every row vs the CURRENT out-profile
+    # (recomputed by one unconditional one-vs-all matvec per out-profile
+    # change; staleness refreshes then select from these [M] vectors instead
+    # of gathering profile rows -- see out_scan below)
+    raw_d: jax.Array       # [maxnodes]
+    raw_w: jax.Array       # [maxnodes]
     # top-hits state
     hits_j: jax.Array      # [maxnodes, m] i32, -1 pad
     hits_d: jax.Array      # [maxnodes, m]
@@ -100,12 +106,15 @@ def _ctr_add(ctr, slot, v):
     jax.jit,
     static_argnames=("n_seqs", "use_matrix", "two_tier", "tol", "bionj",
                      "m", "ntv", "stale_limit", "refresh_thresh", "age_limit",
-                     "reset_n", "reset_f", "up"),
+                     "reset_n", "reset_f", "up", "ablate"),
     donate_argnums=(0,))
 def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
                n_seqs, use_matrix, two_tier, tol, bionj, m, ntv,
                stale_limit, refresh_thresh, age_limit, reset_n, reset_f,
-               up=None):
+               up=None, ablate=frozenset()):
+    # `ablate` (perf-debug only, env VFT_EPOCH_ABLATE=a,b,...): skip named
+    # phases to attribute device time inside the fused loop.  Results are
+    # WRONG under any ablation -- never set outside profiling scripts.
     M = s.parent.shape[0]          # maxnodes
     cd = up if up is not None else s.W.dtype
     store_dt = s.W.dtype
@@ -146,13 +155,34 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     def out_query(s):
         return f(s.w_out[:, None] * s.f_out), f(s.w_out)
 
+    def out_scan(s):
+        """Raw (dist, weight) of EVERY row vs the current out-profile: one
+        one-vs-all contraction (MXU), no per-row gathers.  Recomputed after
+        every out-profile change; all setOutDistance refreshes then read
+        these cached [M] vectors.  This keeps profile-store reads OUT of
+        data-dependent lax.cond branches: XLA copy-insertion otherwise
+        inserts a defensive full-store copy (~store bytes) at every cond
+        whose branch reads U while the same iteration writes it -- measured
+        at ~2.9 ms per occurrence at N=2000, the round-3 25 ms/join."""
+        uq, wq = out_query(s)
+        if two_tier:
+            d_leaf, w_leaf = kernels.me_dist_many_codes(
+                s.codes[:n_seqs], uq, wq, ev_cd, f(code_freq), cd)
+            d_int, w_int = kernels.me_dist_many(f(s.U), f(s.W), uq, wq, ev_cd)
+            d = jnp.concatenate([d_leaf, d_int])[:M]
+            w = jnp.concatenate([w_leaf, w_int])[:M]
+        else:
+            d, w = kernels.me_dist_many(f(s.U), f(s.W), uq, wq, ev_cd)
+            d, w = d[:M], w[:M]
+        return d, w
+
     def refresh_vals(s, nodes, na):
         """Fresh out-distance values of `nodes` vs the current out-profile
-        (setOutDistance, ref tcc:1012-1083); no state writes."""
+        (setOutDistance, ref tcc:1012-1083): selection from the cached raw
+        scan + the host formula; no profile-store reads."""
         nc = clip_ids(nodes)
-        u, w = row_uw(s, nc)
-        uq, wq = out_query(s)
-        d, wt = kernels.me_dist_many(u, w, uq, wq, ev_cd)
+        d = s.raw_d[nc]
+        wt = s.raw_w[nc]
         na_f = na.astype(cd)
         return kernels.out_distance_from_hit(
             d, wt, s.selfdist[nc], s.selfweight[nc],
@@ -189,9 +219,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         nodes = jnp.concatenate([iis, jjs]).astype(jnp.int32)
         vmask = jnp.concatenate([valid, valid])
         stale = vmask & (s.noda[clip_ids(nodes)] - na > allow(na))
-        s = jax.lax.cond(jnp.any(stale),
-                         lambda s: force_refresh(s, nodes, stale, na),
-                         lambda s: s, s)
+        s = force_refresh(s, nodes, stale, na)
         crit = dists - (scaled_out(s, iis, na) + scaled_out(s, jjs, na)) \
             / (na.astype(cd) - 2)
         return s, crit
@@ -228,9 +256,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
             nn = jnp.concatenate([nn, rn])
             stale = jnp.concatenate(
                 [stale, (s.noda[clip_ids(rn)] != na)])
-        s = jax.lax.cond(jnp.any(stale),
-                         lambda s: force_refresh(s, nn, stale, na),
-                         lambda s: s, s)
+        s = force_refresh(s, nn, stale, na)
         s = count_pair_ops(s, iis, jjs, valid)
         crit = dist - (scaled_out(s, iis, na) + scaled_out(s, jjs, na)) \
             / (na.astype(cd) - 2)
@@ -264,9 +290,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         nmask = jnp.concatenate([jnp.asarray([True]), valid])
         stale = nmask & (s.noda[clip_ids(nodes)] - na > allow(na))
         stale = stale.at[0].set(stale[0] | (s.noda[ic] != na))
-        s = jax.lax.cond(jnp.any(stale),
-                         lambda s: force_refresh(s, nodes, stale, na),
-                         lambda s: s, s)
+        s = force_refresh(s, nodes, stale, na)
         # changed pairs: recompute raw distance minus diameters
         d, wt = pair_dists(s, jnp.full((js.shape[0],), i_node, jnp.int32),
                            clip_ids(anc))
@@ -281,6 +305,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
     def update_top_visible(s, i_in, hit_j, hit_dist, na):
         """updateTopVisible (ref tcc:4661-4726)."""
+        if "utv" in ablate:
+            return s
         tv = s.tv
         eq = tv == i_in
         tvc = clip_ids(tv)
@@ -332,6 +358,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         """updateVisible (ref tcc:4635-4658): batch-evaluate the kept
         candidates' current visible criteria (host get_visible_batch), then
         sequentially apply updates + updateTopVisible."""
+        if "uv" in ablate:
+            return s
         import os as __os
         if __os.environ.get("VFT_EPOCH_DEBUG"):
             nc_ = clip_ids(kept_j)
@@ -367,6 +395,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     def reset_top_visible(s, na):
         """resetTopVisible (ref tcc:4728-4784): best ntv visible entries with
         reciprocal-pair dedup, in criterion order (stable by node id)."""
+        if "rtv" in ablate:
+            return s._replace(tv_age=jnp.int32(0))
         all_nodes = jnp.arange(M, dtype=jnp.int32)
         s, crit, valid, vj = visible_crit_batch(s, all_nodes, na)
         key = jnp.where(valid, crit, BIG)
@@ -399,6 +429,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     def expand_visible(s, na):
         """Visible-set expansion at topvisible reset (ref tcc:4171-4201):
         remap every active node's visible partner to its active ancestor."""
+        if "ev" in ablate:
+            return s
         nodes = jnp.arange(M, dtype=jnp.int32)
         act = is_active(s, nodes)
         vj = s.vis_j
@@ -455,6 +487,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         s, (bi, bj, bd, bc, _), _ = jax.lax.while_loop(
             loop_cond, loop_body, init)
         # on exit the last body pass did not reset: (bi,bj) is the final pick
+        if "hill" in ablate:
+            return s, bi, bj, bd, bc
 
         # hill-climb (ref tcc:4226-4263 via tophits.hill_climb_step)
         def hill_body(carry):
@@ -506,10 +540,9 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         ic, jc = clip_ids(i), clip_ids(j)
         pair = jnp.stack([i, j]).astype(jnp.int32)
         # non-forced refresh of i, j at na (host set_out_distance([i,j], na))
-        mask = s.noda[pair] != na
-        s = jax.lax.cond(jnp.any(mask),
-                         lambda s: force_refresh(s, pair, mask, na),
-                         lambda s: s, s)
+        if "j_refresh" not in ablate:
+            mask = s.noda[pair] != na
+            s = force_refresh(s, pair, mask, na)
         d_p, w_p = pair_dists(s, pair[:1], pair[1:])
         weight_ij = jnp.where(w_p[0] > 0, w_p[0], 0.01)
         dist_ij = d_p[0] - (s.diameter[ic] + s.diameter[jc])
@@ -521,10 +554,9 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
         raw_ij = dist_ij + s.diameter[ic] + s.diameter[jc]
         var_ij = raw_ij - s.vard[ic] - s.vard[jc]
-        if bionj:
-            uq, wq = out_query(s)
-            u, w = row_uw(s, pair)
-            douts, wouts = kernels.me_dist_many(u, w, uq, wq, ev_cd)
+        if bionj and "j_bionj" not in ablate:
+            douts = s.raw_d[pair]
+            wouts = s.raw_w[pair]
             var_i_weight = na_f * wouts[0] - s.selfweight[ic] - weight_ij
             var_j_weight = na_f * wouts[1] - s.selfweight[jc] - weight_ij
             var_i_top = (douts[0] * wouts[0] * na_f
@@ -561,14 +593,18 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
             cg[0], wg[0], ug[0], cg[1], wg[1], ug[1], bw.astype(store_dt),
             code_freq, et, tol)
         phys_new = newnode - n_seqs if two_tier else newnode
-        codes = s.codes.at[newnode].set(c_new)
-        W = s.W.at[phys_new].set(w_new)
-        U = s.U.at[phys_new].set(u_new)
-        s = s._replace(codes=codes, W=W, U=U)
+        if "j_avg" not in ablate:
+            codes = s.codes.at[newnode].set(c_new)
+            W = s.W.at[phys_new].set(w_new)
+            U = s.U.at[phys_new].set(u_new)
+            s = s._replace(codes=codes, W=W, U=U)
 
-        d_self, w_self = kernels.me_dist_rows(
-            f(u_new[None]), f(w_new[None]), f(u_new[None]), f(w_new[None]),
-            ev_cd)
+        if "j_self" in ablate:
+            d_self = w_self = jnp.zeros((1,), dtype=cd)
+        else:
+            d_self, w_self = kernels.me_dist_rows(
+                f(u_new[None]), f(w_new[None]), f(u_new[None]), f(w_new[None]),
+                ev_cd)
 
         # tree bookkeeping before the out-profile policy (host order)
         parent = s.parent.at[ic].set(newnode).at[jc].set(newnode)
@@ -607,11 +643,15 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
             totdiam = s.totdiam + diam_new - s.diameter[ic] - s.diameter[jc]
             return s._replace(w_out=w_out, f_out=f_out, totdiam=totdiam)
 
-        s = jax.lax.cond(do_reset, reset_branch, update_branch, s)
+        if "j_out" not in ablate:
+            s = jax.lax.cond(do_reset, reset_branch, update_branch, s)
+            rd, rw = out_scan(s)
+            s = s._replace(raw_d=rd, raw_w=rw)
 
         # new node's out-distance vs the updated out-profile at na-1
-        nn = jnp.asarray([newnode], dtype=jnp.int32)
-        s = force_refresh(s, nn, jnp.asarray([True]), na - 1)
+        if "j_nref" not in ablate:
+            nn = jnp.asarray([newnode], dtype=jnp.int32)
+            s = force_refresh(s, nn, jnp.asarray([True]), na - 1)
         return s, newnode
 
     def _outprofile_dev(s, act):
@@ -703,9 +743,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         act = is_active(s, nodes)
         # set_out_distance(active, na) non-forced
         mask = act & (s.noda != na)
-        s = jax.lax.cond(jnp.any(mask),
-                         lambda s: force_refresh(s, nodes, mask, na),
-                         lambda s: s, s)
+        s = force_refresh(s, nodes, mask, na)
         # one-vs-all scan of newnode
         u_new, w_new = row_uw(s, jnp.asarray([newnode], dtype=jnp.int32))
         if two_tier:
@@ -737,6 +775,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
                        vis_j=s.vis_j.at[newnode].set(hj[0]),
                        vis_d=s.vis_d.at[newnode].set(hd[0]))
 
+        if "exp" in ablate:
+            return reset_top_visible(s, na)
         # neighbor list expansion over the m top hits (batched like the host:
         # every expansion reads pre-update lists; row writes are disjoint)
         top_js = s.hits_j[newnode]
@@ -775,14 +815,30 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     # ------------------------------------------------------------- main loop
     def body(s):
         na = s.n_active
-        s, ji, jj, jd, jc = search(s, na)
+        if "nowork" in ablate:       # perf floor: while-loop + carry only
+            k = s.nj_done
+            return s._replace(n_active=na - 1, maxnode=s.maxnode + 1,
+                              ji=s.ji.at[k].set(0), jj=s.jj.at[k].set(1),
+                              nj_done=k + 1)
+        if "search" in ablate:       # perf floor: skip the search phase
+            nodes = jnp.arange(M, dtype=jnp.int32)
+            act = is_active(s, nodes)
+            ji = jnp.argmax(act).astype(jnp.int32)
+            jj = jnp.argmax(act.at[clip_ids(ji)].set(False)).astype(jnp.int32)
+        else:
+            s, ji, jj, jd, jc = search(s, na)
         s, newnode = do_join(s, ji, jj, na)
-        s = top_hit_join(s, newnode, ji, jj, na - 1)
+        if "thj" not in ablate:
+            s = top_hit_join(s, newnode, ji, jj, na - 1)
         return s._replace(n_active=na - 1)
 
     def cond(s):
         return (s.n_active > 3) & (s.nj_done < max_joins)
 
+    # prologue: populate the raw out-profile scan cache (host state arrives
+    # with fresh out-distances, but the in-loop refreshes select from raw)
+    rd0, rw0 = out_scan(s)
+    s = s._replace(raw_d=rd0, raw_w=rw0)
     return jax.lax.while_loop(cond, body, s)
 
 
@@ -831,6 +887,8 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
         vard=jnp.asarray(nj.var_diameter, dtype=cd),
         totdiam=jnp.asarray(nj.totdiam, dtype=cd),
         parent=jnp.asarray(tree.parent, dtype=jnp.int32),
+        raw_d=jnp.zeros((M,), dtype=cd),
+        raw_w=jnp.zeros((M,), dtype=cd),
         hits_j=jnp.asarray(hits_j), hits_d=jnp.asarray(hits_d),
         age=jnp.asarray(tophits.age, dtype=jnp.int32),
         vis_j=jnp.asarray(tophits.visible_j, dtype=jnp.int32),
@@ -850,6 +908,9 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
 
     refresh_thresh = int(0.5 + m * opts.tophits_refresh)
     age_limit = max(1, int(0.5 + np.log2(m)))
+    import os as _os
+    ablate = frozenset(x for x in
+                       _os.environ.get("VFT_EPOCH_ABLATE", "").split(",") if x)
     out = _epoch_run(
         s, jnp.int32(n_joins if max_joins is None else max_joins),
         prof.code_freq, prof.eigenval, prof.eigentot,
@@ -858,7 +919,7 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
         m=m, ntv=ntv, stale_limit=float(opts.stale_out_limit),
         refresh_thresh=refresh_thresh, age_limit=age_limit,
         reset_n=int(opts.n_reset_out_profile),
-        reset_f=float(opts.f_reset_out_profile), up=up)
+        reset_f=float(opts.f_reset_out_profile), up=up, ablate=ablate)
 
     # ONE blocking fetch for the whole epoch
     ji = np.asarray(out.ji)
