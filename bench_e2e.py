@@ -110,8 +110,12 @@ def bench_ml(n=250, p=500):
     from veryfasttree_tpu.utils.progress import ProgressReport
 
     _enable_compilation_cache()
+    import jax
     codes = synth_codes(n, p)
-    opts = Options(n_codes=4, show_progress=False)
+    # accelerator backends default to the level-batched (threads) mode,
+    # mirroring pipeline._run_single
+    threads = 8 if jax.default_backend() != "cpu" else 1
+    opts = Options(n_codes=4, show_progress=False, threads=threads)
     opts.derive_settings()
     nj = NeighbourJoining(opts, codes, None, None)
     nj.fast_nj()

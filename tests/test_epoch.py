@@ -89,3 +89,37 @@ def test_epoch_max_joins(monkeypatch):
     nj = NeighbourJoining(opts, codes, None, None)
     nj.fast_nj(max_joins=10)
     assert len(nj.join_log) == 10
+
+
+def test_epoch_constraints_identical(tmp_path, monkeypatch):
+    """Constrained joins run inside the epoch (penalty in the criterion,
+    ref joinConstraintPenalty tcc:559-605) and must match the host loop
+    join-for-join, including the final Newick."""
+    import io
+
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    seqs = simulate_alignment(60, 250, seed=21)
+    fasta = str(tmp_path / "t.fasta")
+    write_fasta(fasta, seqs)
+    cons = tmp_path / "cons.fasta"
+    with cons.open("w") as f:
+        for i in range(60):
+            f.write(f">seq{i:05d}\n{'1' if i % 3 == 0 else '0'}\n")
+
+    def run(use_epoch):
+        monkeypatch.setenv("VFT_EPOCH", "1" if use_epoch else "0")
+        opts = Options(show_progress=False, n_codes=4, ml_nni=0,
+                       n_bootstrap=0, constraints_file=str(cons))
+        opts.derive_settings()
+        out = io.StringIO()
+        with open(fasta) as f:
+            nj, _ = run_pipeline(opts, f, out)
+        assert nj.n_cons == 1
+        return out.getvalue().strip(), list(nj.join_log)
+
+    nw_e, joins_e = run(True)
+    nw_h, joins_h = run(False)
+    assert joins_e == joins_h
+    assert nw_e == nw_h

@@ -22,8 +22,10 @@ first slot) reproduce engine/{nj,tophits}.py exactly, which are themselves
 oracle-pinned -- tests/test_epoch.py asserts join-for-join identity with
 the host path on CPU float64.
 
-Not yet covered (falls back to the host loop): constraints, -slow,
--fastest, 2nd-level top hits (-2nd), and tophits-off mode.
+Constraint penalties (-constraints) run inside the epoch (branchless
+joinConstraintPenalty over [K, n_cons], ref tcc:559-605).  Not yet covered
+(falls back to the host loop): -slow, -fastest, 2nd-level top hits (-2nd),
+and tophits-off mode.
 """
 from __future__ import annotations
 
@@ -57,6 +59,10 @@ class EpochState(NamedTuple):
     vard: jax.Array
     totdiam: jax.Array     # scalar
     parent: jax.Array      # i32, -1 = active
+    # constraint counts (ref Profile.nOn/nOff, joinConstraintPenalty
+    # tcc:559-605); [M, n_cons] i32, empty (n_cons=0) when unconstrained
+    con_on: jax.Array
+    con_off: jax.Array
     # cached raw distances of every row vs the CURRENT out-profile
     # (recomputed by one unconditional one-vs-all matvec per out-profile
     # change; staleness refreshes then select from these [M] vectors instead
@@ -106,12 +112,14 @@ def _ctr_add(ctr, slot, v):
     jax.jit,
     static_argnames=("n_seqs", "use_matrix", "two_tier", "tol", "bionj",
                      "m", "ntv", "stale_limit", "refresh_thresh", "age_limit",
-                     "reset_n", "reset_f", "up", "ablate"),
+                     "reset_n", "reset_f", "up", "ablate", "n_cons",
+                     "con_weight"),
     donate_argnums=(0,))
 def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
+               cout_on, cout_off,
                n_seqs, use_matrix, two_tier, tol, bionj, m, ntv,
                stale_limit, refresh_thresh, age_limit, reset_n, reset_f,
-               up=None, ablate=frozenset()):
+               up=None, ablate=frozenset(), n_cons=0, con_weight=100.0):
     # `ablate` (perf-debug only, env VFT_EPOCH_ABLATE=a,b,...): skip named
     # phases to attribute device time inside the fused loop.  Results are
     # WRONG under any ablation -- never set outside profiling scripts.
@@ -213,6 +221,36 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
     def allow(na):
         return jnp.floor(na.astype(cd) * stale_limit).astype(jnp.int32)
 
+    def pair_penalty(s, iis, jjs):
+        """Batched joinConstraintPenalty (ref tcc:559-605): weighted count
+        of constrained leaves that must move, summed over constraints.
+        Branchless over [K, n_cons]; the out-component counts are the
+        (join-invariant) leaf totals minus both members'."""
+        ic, jc = clip_ids(iis), clip_ids(jjs)
+        on1, off1 = s.con_on[ic], s.con_off[ic]
+        on2, off2 = s.con_on[jc], s.con_off[jc]
+        on3 = cout_on[None, :] - on1 - on2
+        off3 = cout_off[None, :] - off1 - off2
+
+        def code(on, off):
+            return jnp.where((on > 0) & (off > 0), -1,
+                             jnp.where(on > 0, 1, 0)).astype(jnp.int32)
+
+        c1, c2, c3 = code(on1, off1), code(on2, off2), code(on3, off3)
+        nonzero = (on1 + off1 > 0) & (on2 + off2 > 0) & (on3 + off3 > 0)
+        n_split = ((c1 == -1).astype(jnp.int32) + (c2 == -1) + (c3 == -1))
+        n_on = ((c1 == 1).astype(jnp.int32) + (c2 == 1) + (c3 == 1))
+        active = nonzero & (n_split == 1) & (n_on == 1)
+        on_a, off_a = on1 + on2, off1 + off2
+        pen = jnp.where(on_a + off3 < on3 + off_a,
+                        jnp.minimum(on_a, off3), jnp.minimum(on3, off_a))
+        return jnp.sum(jnp.where(active, pen, 0), axis=1).astype(cd)
+
+    def add_penalty(s, dist, iis, jjs):
+        if not n_cons:
+            return dist
+        return dist + con_weight * pair_penalty(s, iis, jjs)
+
     def crit_refresh(s, iis, jjs, dists, na, valid):
         """set_criterion_batch: force-refresh beyond-allowance nodes among the
         pair members, then the scaled criterion."""
@@ -242,6 +280,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         d, wt = pair_dists(s, iis, jjs)
         ic, jc = clip_ids(iis), clip_ids(jjs)
         dist = d - (s.diameter[ic] + s.diameter[jc])
+        dist = add_penalty(s, dist, iis, jjs)
         wt = jnp.where(wt > 0, wt, 0.01)
         nodes = [iis.astype(jnp.int32), jjs.astype(jnp.int32)]
         masks = [valid, valid]
@@ -295,6 +334,8 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         d, wt = pair_dists(s, jnp.full((js.shape[0],), i_node, jnp.int32),
                            clip_ids(anc))
         dist = d - (s.diameter[ic] + s.diameter[clip_ids(anc)])
+        dist = add_penalty(s, dist,
+                           jnp.full((js.shape[0],), i_node, jnp.int32), anc)
         out_d = jnp.where(changed, dist, s.hits_d[ic])
         s = count_pair_ops(s, jnp.full(js.shape, i_node), anc, changed)
         crit = out_d - (scaled_out(s, jnp.full(js.shape, i_node), na)
@@ -546,6 +587,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         d_p, w_p = pair_dists(s, pair[:1], pair[1:])
         weight_ij = jnp.where(w_p[0] > 0, w_p[0], 0.01)
         dist_ij = d_p[0] - (s.diameter[ic] + s.diameter[jc])
+        dist_ij = add_penalty(s, dist_ij[None], pair[:1], pair[1:])[0]
         s = count_pair_ops(s, pair[:1], pair[1:], jnp.asarray([True]))
         na_f = na.astype(cd)
         delta = (s.od[ic] - s.od[jc]) / (na_f - 2)
@@ -613,6 +655,11 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         selfdist = s.selfdist.at[newnode].set(d_self[0])
         selfweight = s.selfweight.at[newnode].set(w_self[0])
         noda = s.noda.at[ic].set(na).at[jc].set(na)
+        if n_cons:
+            s = s._replace(
+                con_on=s.con_on.at[newnode].set(s.con_on[ic] + s.con_on[jc]),
+                con_off=s.con_off.at[newnode].set(
+                    s.con_off[ic] + s.con_off[jc]))
         k = s.nj_done
         s = s._replace(parent=parent, diameter=diameter, vard=vard,
                        selfdist=selfdist, selfweight=selfweight, noda=noda,
@@ -760,6 +807,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
                                                  w_new[0], ev_cd)
             d_all, wt_all = d_all[:M], wt_all[:M]
         dist = d_all - (s.diameter[newnode] + s.diameter)
+        dist = add_penalty(s, dist, jnp.full((M,), newnode, jnp.int32), nodes)
         s = s._replace(ctr=_ctr_add(s.ctr, C_PROF, jnp.sum(act)))
         crit = dist - (scaled_out(s, nodes, na)
                        + scaled_out(s, jnp.full((M,), newnode), na)) \
@@ -849,7 +897,7 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
 def epoch_supported(nj, tophits) -> bool:
     opts = nj.options
-    return (tophits is not None and nj.n_cons == 0 and not opts.slow
+    return (tophits is not None and not opts.slow
             and not opts.fastest and not opts.use_tophits_2nd
             and tophits.q == 0)
 
@@ -887,6 +935,10 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
         vard=jnp.asarray(nj.var_diameter, dtype=cd),
         totdiam=jnp.asarray(nj.totdiam, dtype=cd),
         parent=jnp.asarray(tree.parent, dtype=jnp.int32),
+        con_on=jnp.asarray(nj.con_on if nj.n_cons else
+                           np.zeros((M, 0)), dtype=jnp.int32),
+        con_off=jnp.asarray(nj.con_off if nj.n_cons else
+                            np.zeros((M, 0)), dtype=jnp.int32),
         raw_d=jnp.zeros((M,), dtype=cd),
         raw_w=jnp.zeros((M,), dtype=cd),
         hits_j=jnp.asarray(hits_j), hits_d=jnp.asarray(hits_d),
@@ -911,15 +963,21 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     import os as _os
     ablate = frozenset(x for x in
                        _os.environ.get("VFT_EPOCH_ABLATE", "").split(",") if x)
+    cout_on = jnp.asarray(nj.con_out_on if nj.n_cons else np.zeros(0),
+                          dtype=jnp.int32)
+    cout_off = jnp.asarray(nj.con_out_off if nj.n_cons else np.zeros(0),
+                           dtype=jnp.int32)
     out = _epoch_run(
         s, jnp.int32(n_joins if max_joins is None else max_joins),
-        prof.code_freq, prof.eigenval, prof.eigentot,
+        prof.code_freq, prof.eigenval, prof.eigentot, cout_on, cout_off,
         n_seqs=prof.n_seqs, use_matrix=prof.use_matrix,
         two_tier=prof.two_tier, tol=prof.tol, bionj=bool(opts.bionj),
         m=m, ntv=ntv, stale_limit=float(opts.stale_out_limit),
         refresh_thresh=refresh_thresh, age_limit=age_limit,
         reset_n=int(opts.n_reset_out_profile),
-        reset_f=float(opts.f_reset_out_profile), up=up, ablate=ablate)
+        reset_f=float(opts.f_reset_out_profile), up=up, ablate=ablate,
+        n_cons=int(nj.n_cons),
+        con_weight=float(opts.constraint_weight))
 
     # ONE blocking fetch for the whole epoch
     ji = np.asarray(out.ji)
@@ -940,6 +998,9 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     nj.diameter = np.asarray(out.diameter, dtype=np.float64)
     nj.var_diameter = np.asarray(out.vard, dtype=np.float64)
     nj.totdiam = float(out.totdiam)
+    if nj.n_cons:
+        nj.con_on = np.asarray(out.con_on, dtype=np.int64)
+        nj.con_off = np.asarray(out.con_off, dtype=np.int64)
 
     for k in range(n_done):
         i, j = int(ji[k]), int(jj[k])

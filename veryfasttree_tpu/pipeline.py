@@ -170,6 +170,16 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
     # equal-quality, not bit-exact -- see docs/PARITY.md.
     if jax.default_backend() == "cpu" and not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    # On accelerator backends the level-batched phases (the reference's
+    # -threads mode, thread levels 1-4 re-expressed as batched device calls,
+    # SURVEY.md section 2.4) are the native execution model: the serial
+    # per-node paths pay a ~25 ms blocking sync per node on the remote TPU
+    # tunnel.  `-threads 1` stays the single-worker semantics on CPU;
+    # VFT_FORCE_SERIAL=1 forces it on accelerators too (debug/parity runs).
+    import os as _os
+    if (jax.default_backend() != "cpu" and options.threads == 1
+            and _os.environ.get("VFT_FORCE_SERIAL") != "1"):
+        options.threads = 8
     _enable_compilation_cache()
     if options.mesh is None:
         from .parallel.mesh import mesh_from_options
