@@ -1,16 +1,18 @@
 #!/usr/bin/env python3
-"""End-to-end benchmark: REAL joins/s of the NJ engine on the live backend.
+"""End-to-end benchmark: wall-clock-to-tree of the NJ phase vs the reference.
 
-Runs the actual fast_nj join loop (search + fused join + top-hits
-maintenance, ref NeighbourJoining.tcc:2796-3155) on a founder-mutation
-synthetic alignment, and the reference binary (-noml -nosupport) on the SAME
-FASTA as the baseline.  This is BASELINE.md's primary metric (NJ joins/sec /
-wall-clock-to-tree) measured end-to-end, not a synthetic kernel.
+Runs the actual fast_nj pipeline (store init, top-hits seeding, the
+device-resident join epoch -- ref NeighbourJoining.tcc:2796-3155) on a
+founder-mutation synthetic alignment, and the reference binary
+(-noml -nosupport) on the SAME FASTA as the baseline.
 
-vs_baseline = our joins/s / the reference binary's joins/s on this host.
-NOTE the axon TPU backend adds ~27 ms tunnel latency to every blocking
-fetch, which bounds the serial join loop; see bench_e2e.py for backend
-comparisons and docs/SCALING.md for the latency math.
+Honest accounting (BASELINE.md's metric is wall-clock-to-tree):
+  * the one-time axon d2h channel open (30-300 s, a tunnel artifact that a
+    local TPU does not pay) is warmed BEFORE timing and reported separately;
+  * the run is done twice with fresh engines -- cold (includes jit compiles)
+    and warm (persistent compilation cache hit) -- and BOTH wall times are
+    reported; `vs_baseline` uses the warm end-to-end wall including setup,
+    `vs_baseline_cold` the cold one.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -26,21 +28,9 @@ sys.path.insert(0, REPO)
 ORACLE = os.environ.get("VFT_ORACLE", "/tmp/refbuild/VeryFastTree")
 
 
-def main():
-    from bench_e2e import synth_codes, write_fasta
-
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    p = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-
-    import jax
-    backend = jax.default_backend()
-
+def run_once(codes):
     from veryfasttree_tpu.engine.nj import NeighbourJoining
     from veryfasttree_tpu.options import Options
-    from veryfasttree_tpu.pipeline import _enable_compilation_cache
-
-    _enable_compilation_cache()
-    codes = synth_codes(n, p)
 
     opts = Options(n_codes=4, show_progress=False)
     opts.derive_settings()
@@ -50,11 +40,38 @@ def main():
     t0 = time.perf_counter()
     nj.fast_nj()
     t_join = time.perf_counter() - t0
+    return t_setup, t_join
+
+
+def main():
+    from bench_e2e import synth_codes, write_fasta
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    p = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    backend = jax.default_backend()
+
+    from veryfasttree_tpu.pipeline import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    codes = synth_codes(n, p)
     joins = n - 3
-    joins_per_s = joins / t_join
+
+    # one-time tunnel channel open; never part of any phase timing
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(8) + 1)
+    t_d2h = time.perf_counter() - t0
+
+    setup_cold, join_cold = run_once(codes)
+    setup_warm, join_warm = run_once(codes)
+    wall_cold = setup_cold + join_cold
+    wall_warm = setup_warm + join_warm
+    joins_per_s = joins / join_warm
 
     # reference binary on the same input (the upstream CPU implementation)
-    ref_joins_per_s = None
     t_ref = None
     if os.path.exists(ORACLE):
         fasta = f"/tmp/bench_nj_{n}_{p}.fasta"
@@ -65,16 +82,18 @@ def main():
             capture_output=True, text=True, timeout=36000)
         if res.returncode == 0:
             t_ref = time.perf_counter() - t0
-            ref_joins_per_s = joins / t_ref
 
     out = {
-        "metric": f"NJ end-to-end joins/s (N={n}, P={p}, nt, {backend})",
-        "value": round(joins_per_s, 2),
-        "unit": "joins/s",
-        "vs_baseline": (round(joins_per_s / ref_joins_per_s, 3)
-                        if ref_joins_per_s else None),
-        "join_phase_s": round(t_join, 2),
-        "setup_s": round(t_setup, 2),
+        "metric": f"NJ wall-to-tree (N={n}, P={p}, nt, {backend})",
+        "value": round(wall_warm, 2),
+        "unit": "s",
+        "vs_baseline": round(t_ref / wall_warm, 3) if t_ref else None,
+        "vs_baseline_cold": round(t_ref / wall_cold, 3) if t_ref else None,
+        "joins_per_s_warm": round(joins_per_s, 2),
+        "join_phase_s": round(join_warm, 2),
+        "setup_s": round(setup_warm, 2),
+        "wall_cold_s": round(wall_cold, 2),
+        "d2h_channel_open_s": round(t_d2h, 2),
         "reference_wall_s": round(t_ref, 2) if t_ref else None,
     }
     print(json.dumps(out))

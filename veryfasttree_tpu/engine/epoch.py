@@ -22,6 +22,21 @@ first slot) reproduce engine/{nj,tophits}.py exactly, which are themselves
 oracle-pinned -- tests/test_epoch.py asserts join-for-join identity with
 the host path on CPU float64.
 
+Memory design (the round-4 perf fix): the main profile stores (codes/W/U)
+are READ-ONLY jit arguments of the epoch, never part of the while-loop
+carry.  Each join writes its new profile row into a small [S, ...] side
+buffer in the carry; every S joins the host enqueues a separate merge
+dispatch that scatters the side rows into the main store (donated), then
+re-enters the epoch -- all enqueue-only, still one blocking fetch per
+whole join phase.  Rationale: when a `lax.cond` branch reads an array that
+the same loop body writes, XLA copy-insertion materialises a defensive
+copy of the WHOLE array at the cond (measured ~2.9 ms per occurrence for
+the 64 MB store at N=2000 -- the round-3 25 ms/join).  With the main store
+read-only, every cond that gathers profile rows (hill-climb, visible
+updates, list refreshes, the out-profile reset) is copy-free, and per-join
+work returns to the reference's O(m) row-gathers instead of an O(maxnodes)
+defensive copy per cond.
+
 Constraint penalties (-constraints) run inside the epoch (branchless
 joinConstraintPenalty over [K, n_cons], ref tcc:559-605).  Not yet covered
 (falls back to the host loop): -slow, -fastest, 2nd-level top hits (-2nd),
@@ -44,10 +59,14 @@ BIG = 1e20
 
 
 class EpochState(NamedTuple):
-    # profile store (donated through the loop)
-    codes: jax.Array
-    W: jax.Array
-    U: jax.Array
+    # NEW profile rows of the current segment (the main codes/W/U stores are
+    # read-only jit arguments of _epoch_run -- see the module docstring; the
+    # loop body only ever writes these small [S, ...] staging buffers, which
+    # a separate merge dispatch scatters into the main store between
+    # segments).  Row `t` holds node id seg_base + t.
+    side_c: jax.Array      # [S, P] codes dtype
+    side_w: jax.Array      # [S, P] store dtype
+    side_u: jax.Array      # [S, P, C] store dtype
     w_out: jax.Array
     f_out: jax.Array
     # per-node NJ bookkeeping [maxnodes]
@@ -63,12 +82,6 @@ class EpochState(NamedTuple):
     # tcc:559-605); [M, n_cons] i32, empty (n_cons=0) when unconstrained
     con_on: jax.Array
     con_off: jax.Array
-    # cached raw distances of every row vs the CURRENT out-profile
-    # (recomputed by one unconditional one-vs-all matvec per out-profile
-    # change; staleness refreshes then select from these [M] vectors instead
-    # of gathering profile rows -- see out_scan below)
-    raw_d: jax.Array       # [maxnodes]
-    raw_w: jax.Array       # [maxnodes]
     # top-hits state
     hits_j: jax.Array      # [maxnodes, m] i32, -1 pad
     hits_d: jax.Array      # [maxnodes, m]
@@ -115,17 +128,22 @@ def _ctr_add(ctr, slot, v):
                      "reset_n", "reset_f", "up", "ablate", "n_cons",
                      "con_weight"),
     donate_argnums=(0,))
-def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
+def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
+               code_freq, eigenval, eigentot,
                cout_on, cout_off,
                n_seqs, use_matrix, two_tier, tol, bionj, m, ntv,
                stale_limit, refresh_thresh, age_limit, reset_n, reset_f,
                up=None, ablate=frozenset(), n_cons=0, con_weight=100.0):
+    # codes_m/W_m/U_m: the main profile store, READ-ONLY here (module
+    # docstring).  seg_base: first node id staged in the side buffers
+    # (= maxnode at segment entry).  seg_end: cumulative nj_done to stop at.
     # `ablate` (perf-debug only, env VFT_EPOCH_ABLATE=a,b,...): skip named
     # phases to attribute device time inside the fused loop.  Results are
     # WRONG under any ablation -- never set outside profiling scripts.
     M = s.parent.shape[0]          # maxnodes
-    cd = up if up is not None else s.W.dtype
-    store_dt = s.W.dtype
+    S = s.side_w.shape[0]
+    cd = up if up is not None else s.side_w.dtype
+    store_dt = s.side_w.dtype
     ev = eigenval if use_matrix else None
     ev_cd = ev.astype(cd) if ev is not None else None
     et = eigentot if use_matrix else None
@@ -154,43 +172,37 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
         return jax.lax.while_loop(cond, body, x)
 
+    def row_cwu(s, rows):
+        """(codes, w, u) stacks for row ids in STORE dtype, gathering from
+        the read-only main store or the segment side buffer (node ids >=
+        seg_base), with two-tier leaf expansion inside (host _rows_cwu)."""
+        rc = clip_ids(rows)
+        in_side = rc >= seg_base
+        main_r = jnp.where(in_side, 0, rc)
+        c_m, w_m, u_m = _rows_cwu(codes_m, W_m, U_m, main_r, code_freq,
+                                  n_seqs, two_tier)
+        si = jnp.clip(rc - seg_base, 0, S - 1)
+        c = jnp.where(in_side[:, None], s.side_c[si], c_m)
+        w = jnp.where(in_side[:, None], s.side_w[si], w_m)
+        u = jnp.where(in_side[:, None, None], s.side_u[si], u_m)
+        return c, w, u
+
     def row_uw(s, rows):
         """(u, w) query stacks for row ids (two-tier leaf expansion inside)."""
-        rc = clip_ids(rows).astype(jnp.int64)
-        _, w, u = _rows_cwu(s.codes, s.W, s.U, rc, code_freq, n_seqs, two_tier)
+        _, w, u = row_cwu(s, rows)
         return f(u), f(w)
 
     def out_query(s):
         return f(s.w_out[:, None] * s.f_out), f(s.w_out)
 
-    def out_scan(s):
-        """Raw (dist, weight) of EVERY row vs the current out-profile: one
-        one-vs-all contraction (MXU), no per-row gathers.  Recomputed after
-        every out-profile change; all setOutDistance refreshes then read
-        these cached [M] vectors.  This keeps profile-store reads OUT of
-        data-dependent lax.cond branches: XLA copy-insertion otherwise
-        inserts a defensive full-store copy (~store bytes) at every cond
-        whose branch reads U while the same iteration writes it -- measured
-        at ~2.9 ms per occurrence at N=2000, the round-3 25 ms/join."""
-        uq, wq = out_query(s)
-        if two_tier:
-            d_leaf, w_leaf = kernels.me_dist_many_codes(
-                s.codes[:n_seqs], uq, wq, ev_cd, f(code_freq), cd)
-            d_int, w_int = kernels.me_dist_many(f(s.U), f(s.W), uq, wq, ev_cd)
-            d = jnp.concatenate([d_leaf, d_int])[:M]
-            w = jnp.concatenate([w_leaf, w_int])[:M]
-        else:
-            d, w = kernels.me_dist_many(f(s.U), f(s.W), uq, wq, ev_cd)
-            d, w = d[:M], w[:M]
-        return d, w
-
     def refresh_vals(s, nodes, na):
         """Fresh out-distance values of `nodes` vs the current out-profile
-        (setOutDistance, ref tcc:1012-1083): selection from the cached raw
-        scan + the host formula; no profile-store reads."""
+        (setOutDistance, ref tcc:1012-1083): row gathers + one contraction,
+        mirroring the host prof.dist_set_vs_out; no state writes."""
         nc = clip_ids(nodes)
-        d = s.raw_d[nc]
-        wt = s.raw_w[nc]
+        u, w = row_uw(s, nc)
+        uq, wq = out_query(s)
+        d, wt = kernels.me_dist_many(u, w, uq, wq, ev_cd)
         na_f = na.astype(cd)
         return kernels.out_distance_from_hit(
             d, wt, s.selfdist[nc], s.selfweight[nc],
@@ -580,11 +592,13 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         newnode = s.maxnode
         ic, jc = clip_ids(i), clip_ids(j)
         pair = jnp.stack([i, j]).astype(jnp.int32)
+        cg, wg, ug = row_cwu(s, pair)          # store dtype, reused below
         # non-forced refresh of i, j at na (host set_out_distance([i,j], na))
         if "j_refresh" not in ablate:
             mask = s.noda[pair] != na
             s = force_refresh(s, pair, mask, na)
-        d_p, w_p = pair_dists(s, pair[:1], pair[1:])
+        d_p, w_p = kernels.me_dist_rows(f(ug[:1]), f(wg[:1]),
+                                        f(ug[1:]), f(wg[1:]), ev_cd)
         weight_ij = jnp.where(w_p[0] > 0, w_p[0], 0.01)
         dist_ij = d_p[0] - (s.diameter[ic] + s.diameter[jc])
         dist_ij = add_penalty(s, dist_ij[None], pair[:1], pair[1:])[0]
@@ -597,8 +611,11 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         raw_ij = dist_ij + s.diameter[ic] + s.diameter[jc]
         var_ij = raw_ij - s.vard[ic] - s.vard[jc]
         if bionj and "j_bionj" not in ablate:
-            douts = s.raw_d[pair]
-            wouts = s.raw_w[pair]
+            # raw (dist, weight) of i and j vs the CURRENT (pre-update)
+            # out-profile, as the host reads from its out-raw cache
+            uq_o, wq_o = out_query(s)
+            douts, wouts = kernels.me_dist_many(f(ug), f(wg), uq_o, wq_o,
+                                                ev_cd)
             var_i_weight = na_f * wouts[0] - s.selfweight[ic] - weight_ij
             var_j_weight = na_f * wouts[1] - s.selfweight[jc] - weight_ij
             var_i_top = (douts[0] * wouts[0] * na_f
@@ -627,19 +644,16 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         vard_new = (bw * s.vard[ic] + (1.0 - bw) * s.vard[jc]
                     + bw * (1.0 - bw) * var_ij)
 
-        # profile average into the new row (store dtype, like _join_update)
-        cg, wg, ug = _rows_cwu(s.codes, s.W, s.U,
-                               pair.astype(jnp.int64), code_freq, n_seqs,
-                               two_tier)
+        # profile average into the new row (store dtype, like _join_update),
+        # staged in the segment side buffer at index newnode - seg_base
         c_new, w_new, u_new, _ = kernels.average_profile(
             cg[0], wg[0], ug[0], cg[1], wg[1], ug[1], bw.astype(store_dt),
             code_freq, et, tol)
-        phys_new = newnode - n_seqs if two_tier else newnode
         if "j_avg" not in ablate:
-            codes = s.codes.at[newnode].set(c_new)
-            W = s.W.at[phys_new].set(w_new)
-            U = s.U.at[phys_new].set(u_new)
-            s = s._replace(codes=codes, W=W, U=U)
+            sidx = jnp.clip(newnode - seg_base, 0, S - 1)
+            s = s._replace(side_c=s.side_c.at[sidx].set(c_new),
+                           side_w=s.side_w.at[sidx].set(w_new),
+                           side_u=s.side_u.at[sidx].set(u_new))
 
         if "j_self" in ablate:
             d_self = w_self = jnp.zeros((1,), dtype=cd)
@@ -692,8 +706,6 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
 
         if "j_out" not in ablate:
             s = jax.lax.cond(do_reset, reset_branch, update_branch, s)
-            rd, rw = out_scan(s)
-            s = s._replace(raw_d=rd, raw_w=rw)
 
         # new node's out-distance vs the updated out-profile at na-1
         if "j_nref" not in ablate:
@@ -701,25 +713,43 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
             s = force_refresh(s, nn, jnp.asarray([True]), na - 1)
         return s, newnode
 
+    def merged_store(s):
+        """Temporary (codes, W, U) with this segment's side rows scattered
+        into (functional copies of) the main store.  Only called inside
+        rarely-taken branches (out-profile reset, full list refresh) so the
+        full-store copy it materialises is amortised; it restores the exact
+        single-pass accumulation order of a contiguous store, keeping those
+        paths bit-identical to the host."""
+        ids = seg_base + jnp.arange(S, dtype=jnp.int32)
+        ok = ids < s.maxnode
+        ctgt = jnp.where(ok, ids, codes_m.shape[0])
+        codes_c = codes_m.at[ctgt].set(s.side_c, mode="drop")
+        phys = ids - n_seqs if two_tier else ids
+        ptgt = jnp.where(ok, phys, W_m.shape[0])
+        W_c = W_m.at[ptgt].set(s.side_w, mode="drop")
+        U_c = U_m.at[ptgt].set(s.side_u, mode="drop")
+        return codes_c, W_c, U_c
+
     def _outprofile_dev(s, act):
         """outProfile over active rows (ref tcc:729-815), two-tier aware."""
         dt = store_dt
+        codes_c, W_c, U_c = merged_store(s)
         n = jnp.sum(act)
         if not two_tier:
-            fm = jnp.zeros((s.U.shape[0],), dtype=dt)
+            fm = jnp.zeros((U_c.shape[0],), dtype=dt)
             fm = fm.at[: M].set(act.astype(dt))
-            w_out = jnp.einsum("m,mp->p", fm, s.W) / jnp.maximum(n, 1)
+            w_out = jnp.einsum("m,mp->p", fm, W_c) / jnp.maximum(n, 1)
             w_out = jnp.maximum(w_out, 1e-20)
-            accum = jnp.einsum("m,mpc->pc", fm, s.U)
+            accum = jnp.einsum("m,mpc->pc", fm, U_c)
         else:
             mask_leaf = act[:n_seqs]
-            n_int = s.U.shape[0]
+            n_int = U_c.shape[0]
             mask_int = jnp.zeros((n_int,), dtype=bool)
             mask_int = mask_int.at[: M - n_seqs].set(act[n_seqs:])
             mi = mask_int.astype(dt)
-            accum = jnp.einsum("m,mpc->pc", mi, s.U)
-            w_sum = jnp.einsum("m,mp->p", mi, s.W)
-            u_l, w_l = kernels.leaf_u(s.codes[:n_seqs], code_freq, dt)
+            accum = jnp.einsum("m,mpc->pc", mi, U_c)
+            w_sum = jnp.einsum("m,mp->p", mi, W_c)
+            u_l, w_l = kernels.leaf_u(codes_c[:n_seqs], code_freq, dt)
             ml = mask_leaf.astype(dt)
             accum = accum + jnp.einsum("m,mpc->pc", ml, u_l)
             w_sum = w_sum + jnp.einsum("m,mp->p", ml, w_l)
@@ -791,19 +821,19 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         # set_out_distance(active, na) non-forced
         mask = act & (s.noda != na)
         s = force_refresh(s, nodes, mask, na)
-        # one-vs-all scan of newnode
+        # one-vs-all scan of newnode (merged store: bit-identical to the
+        # host's contiguous-store scan)
         u_new, w_new = row_uw(s, jnp.asarray([newnode], dtype=jnp.int32))
+        codes_c, W_c, U_c = merged_store(s)
         if two_tier:
             d_leaf, w_leaf = kernels.me_dist_many_codes(
-                s.codes[:n_seqs], u_new[0], w_new[0], ev_cd, f(code_freq), cd)
-            u_int = f(s.U)
-            w_int = f(s.W)
-            d_int, w_int_d = kernels.me_dist_many(u_int, w_int, u_new[0],
+                codes_c[:n_seqs], u_new[0], w_new[0], ev_cd, f(code_freq), cd)
+            d_int, w_int_d = kernels.me_dist_many(f(U_c), f(W_c), u_new[0],
                                                   w_new[0], ev_cd)
             d_all = jnp.concatenate([d_leaf, d_int])[:M]
             wt_all = jnp.concatenate([w_leaf, w_int_d])[:M]
         else:
-            d_all, wt_all = kernels.me_dist_many(f(s.U), f(s.W), u_new[0],
+            d_all, wt_all = kernels.me_dist_many(f(U_c), f(W_c), u_new[0],
                                                  w_new[0], ev_cd)
             d_all, wt_all = d_all[:M], wt_all[:M]
         dist = d_all - (s.diameter[newnode] + s.diameter)
@@ -881,13 +911,30 @@ def _epoch_run(s: EpochState, max_joins, code_freq, eigenval, eigentot,
         return s._replace(n_active=na - 1)
 
     def cond(s):
-        return (s.n_active > 3) & (s.nj_done < max_joins)
+        return (s.n_active > 3) & (s.nj_done < seg_end)
 
-    # prologue: populate the raw out-profile scan cache (host state arrives
-    # with fresh out-distances, but the in-loop refreshes select from raw)
-    rd0, rw0 = out_scan(s)
-    s = s._replace(raw_d=rd0, raw_w=rw0)
     return jax.lax.while_loop(cond, body, s)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seqs", "two_tier"),
+                   donate_argnums=(0, 1, 2))
+def _merge_seg(codes_m, W_m, U_m, side_c, side_w, side_u, seg_base, count,
+               n_seqs, two_tier):
+    """Scatter a finished segment's side rows into the (donated) main store.
+
+    Enqueued between epoch dispatches; the single device stream serialises
+    it before the next segment's reads, so the whole join phase still costs
+    one blocking fetch."""
+    S = side_w.shape[0]
+    ids = seg_base + jnp.arange(S, dtype=jnp.int32)
+    ok = jnp.arange(S) < count
+    ctgt = jnp.where(ok, ids, codes_m.shape[0])
+    codes_m = codes_m.at[ctgt].set(side_c, mode="drop")
+    phys = ids - n_seqs if two_tier else ids
+    ptgt = jnp.where(ok, phys, W_m.shape[0])
+    W_m = W_m.at[ptgt].set(side_w, mode="drop")
+    U_m = U_m.at[ptgt].set(side_u, mode="drop")
+    return codes_m, W_m, U_m
 
 
 # ---------------------------------------------------------------------------
@@ -923,8 +970,16 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
             hits_j[i, : len(hj)] = hj
             hits_d[i, : len(hj)] = tophits.hits_dist[i][: len(hj)]
 
+    import os as _os
+    S = int(_os.environ.get("VFT_EPOCH_SEG", "256"))
+    P = prof.W.shape[1]
+    C = prof.U.shape[2]
+    store_dt = prof.W.dtype
+
     s = EpochState(
-        codes=prof.codes, W=prof.W, U=prof.U,
+        side_c=jnp.zeros((S, P), dtype=prof.codes.dtype),
+        side_w=jnp.zeros((S, P), dtype=store_dt),
+        side_u=jnp.zeros((S, P, C), dtype=store_dt),
         w_out=prof.w_out, f_out=prof.f_out,
         od=jnp.asarray(nj.out_distances, dtype=cd),
         noda=jnp.asarray(np.minimum(nj.n_out_dist_active, 2**31 - 1),
@@ -939,8 +994,6 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
                            np.zeros((M, 0)), dtype=jnp.int32),
         con_off=jnp.asarray(nj.con_off if nj.n_cons else
                             np.zeros((M, 0)), dtype=jnp.int32),
-        raw_d=jnp.zeros((M,), dtype=cd),
-        raw_w=jnp.zeros((M,), dtype=cd),
         hits_j=jnp.asarray(hits_j), hits_d=jnp.asarray(hits_d),
         age=jnp.asarray(tophits.age, dtype=jnp.int32),
         vis_j=jnp.asarray(tophits.visible_j, dtype=jnp.int32),
@@ -960,24 +1013,43 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
 
     refresh_thresh = int(0.5 + m * opts.tophits_refresh)
     age_limit = max(1, int(0.5 + np.log2(m)))
-    import os as _os
     ablate = frozenset(x for x in
                        _os.environ.get("VFT_EPOCH_ABLATE", "").split(",") if x)
     cout_on = jnp.asarray(nj.con_out_on if nj.n_cons else np.zeros(0),
                           dtype=jnp.int32)
     cout_off = jnp.asarray(nj.con_out_off if nj.n_cons else np.zeros(0),
                            dtype=jnp.int32)
-    out = _epoch_run(
-        s, jnp.int32(n_joins if max_joins is None else max_joins),
-        prof.code_freq, prof.eigenval, prof.eigentot, cout_on, cout_off,
-        n_seqs=prof.n_seqs, use_matrix=prof.use_matrix,
-        two_tier=prof.two_tier, tol=prof.tol, bionj=bool(opts.bionj),
-        m=m, ntv=ntv, stale_limit=float(opts.stale_out_limit),
-        refresh_thresh=refresh_thresh, age_limit=age_limit,
-        reset_n=int(opts.n_reset_out_profile),
-        reset_f=float(opts.f_reset_out_profile), up=up, ablate=ablate,
-        n_cons=int(nj.n_cons),
-        con_weight=float(opts.constraint_weight))
+
+    # segment loop: epoch dispatch (side-buffer staging) alternating with the
+    # merge scatter, all enqueue-only -- see module docstring
+    n_active0 = int(s.n_active)
+    total = n_active0 - 3
+    if max_joins is not None:
+        total = min(total, max_joins)
+    codes_m, W_m, U_m = prof.codes, prof.W, prof.U
+    maxnode0 = tree.maxnode
+    done = 0
+    out = s
+    while done < total:
+        seg = min(S, total - done)
+        seg_base = maxnode0 + done
+        out = _epoch_run(
+            out, codes_m, W_m, U_m, jnp.int32(seg_base),
+            jnp.int32(done + seg),
+            prof.code_freq, prof.eigenval, prof.eigentot, cout_on, cout_off,
+            n_seqs=prof.n_seqs, use_matrix=prof.use_matrix,
+            two_tier=prof.two_tier, tol=prof.tol, bionj=bool(opts.bionj),
+            m=m, ntv=ntv, stale_limit=float(opts.stale_out_limit),
+            refresh_thresh=refresh_thresh, age_limit=age_limit,
+            reset_n=int(opts.n_reset_out_profile),
+            reset_f=float(opts.f_reset_out_profile), up=up, ablate=ablate,
+            n_cons=int(nj.n_cons),
+            con_weight=float(opts.constraint_weight))
+        codes_m, W_m, U_m = _merge_seg(
+            codes_m, W_m, U_m, out.side_c, out.side_w, out.side_u,
+            jnp.int32(seg_base), jnp.int32(seg),
+            n_seqs=prof.n_seqs, two_tier=prof.two_tier)
+        done += seg
 
     # ONE blocking fetch for the whole epoch
     ji = np.asarray(out.ji)
@@ -986,8 +1058,8 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     blj = np.asarray(out.blj, dtype=np.float64)
     n_done = int(out.nj_done)
 
-    # store arrays stay device-resident
-    prof.codes, prof.W, prof.U = out.codes, out.W, out.U
+    # store arrays stay device-resident (main store carries the merged rows)
+    prof.codes, prof.W, prof.U = codes_m, W_m, U_m
     prof.w_out, prof.f_out = out.w_out, out.f_out
     prof.out_version += 1
 
