@@ -229,6 +229,12 @@ def optimize_all_branch_lengths_batched(nj) -> None:
         tree.branchlength[b] = ln / 2.0
         return
     compute_up_profiles_levelwise(nj, use_ml=True)
+    # branch lengths ride the device through the whole sweep: every Brent
+    # result scatters into `bl` and feeds the next posterior enqueue-only;
+    # the single blocking fetch happens after the last level (the per-level
+    # fetches here were ~6 x levels x 25 ms on the axon tunnel)
+    import jax.numpy as jnp
+    bl = jnp.asarray(tree.branchlength[: tree.maxnodes], dtype=ml.dtype)
     for level in tree.level_lists():
         nodes = [int(n) for n in level if tree.n_child[n] >= 2]
         if not nodes:
@@ -250,19 +256,19 @@ def optimize_all_branch_lengths_batched(nj) -> None:
             for i in range(3):
                 b1, b2 = (i + 1) % 3, (i + 2) % 3
                 ml.posterior_rows(scratch, rows3[:, b1], rows3[:, b2],
-                                  tree.branchlength[nodes3[:, b1]],
-                                  tree.branchlength[nodes3[:, b2]])
-                guesses = np.maximum(tree.branchlength[nodes3[:, i]],
-                                     nj.options.ml_min_branch_length)
-                xs, _ = ml.opt_branch_length_rows(rows3[:, i], scratch, guesses)
-                tree.branchlength[nodes3[:, i]] = xs
+                                  bl[nodes3[:, b1]], bl[nodes3[:, b2]])
+                guesses = jnp.maximum(bl[nodes3[:, i]],
+                                      ml.dtype(nj.options.ml_min_branch_length))
+                xs, _ = ml.opt_branch_length_rows(rows3[:, i], scratch,
+                                                  guesses, fetch=False)
+                bl = bl.at[nodes3[:, i]].set(xs.astype(ml.dtype))
         # refresh this level's profiles for the next level up
         upd = [n for n in nodes if n != tree.root]
         if upd:
-            iis = [int(tree.children[n, 0]) for n in upd]
-            jjs = [int(tree.children[n, 1]) for n in upd]
-            nj.ml.posterior_rows(np.array(upd), iis, jjs,
-                                 tree.branchlength[iis], tree.branchlength[jjs])
+            iis = np.array([int(tree.children[n, 0]) for n in upd])
+            jjs = np.array([int(tree.children[n, 1]) for n in upd])
+            nj.ml.posterior_rows(np.array(upd), iis, jjs, bl[iis], bl[jjs])
+    tree.branchlength[: tree.maxnodes] = np.asarray(bl, dtype=np.float64)
 
 
 def update_branch_lengths_batched(nj) -> None:

@@ -297,12 +297,19 @@ def ml_quartet_nni(nj, rows4, nodes4, lengths, b_fast):
 
 
 def tree_loglk(nj, want_site_loglk=False):
-    """ref treeLogLk tcc:5160-5258 -- level-batched pair likelihoods."""
+    """ref treeLogLk tcc:5160-5258 -- level-batched pair likelihoods.
+
+    Without site log-lks, the per-level sums accumulate ON DEVICE and the
+    whole traversal is enqueue-only with ONE blocking fetch at the end (the
+    per-level fetches were the axon ML-phase bottleneck: ~25 ms x levels x
+    rounds).  The site-loglk path keeps host (numpy pairwise) accumulation
+    so per-site CAT-rate argmax decisions stay bit-stable."""
     tree = nj.tree
     ml = nj.ml
     if nj.n_seqs < 2:
         return (0.0, None) if want_site_loglk else 0.0
     loglk = 0.0
+    acc = None
     site = np.zeros(nj.n_pos) if want_site_loglk else None
     for level in tree.level_lists():
         nodes = [int(nd) for nd in level if tree.n_child[nd] >= 2]
@@ -313,20 +320,30 @@ def tree_loglk(nj, want_site_loglk=False):
         r2s = [int(tree.children[nd, 1]) for nd in pairs]
         lens = [tree.branchlength[r1] + tree.branchlength[r2]
                 for r1, r2 in zip(r1s, r2s)]
-        lls, lks = ml.pair_loglk_rows(r1s, r2s, lens)
-        loglk += float(lls.sum())
         if want_site_loglk:
+            lls, lks = ml.pair_loglk_rows(r1s, r2s, lens)
+            loglk += float(lls.sum())
             site += np.log(np.maximum(lks, 1e-300)).sum(axis=0)
+        else:
+            lls, _ = ml.pair_loglk_rows(r1s, r2s, lens, fetch=False)
+            s = lls.sum()
+            acc = s if acc is None else acc + s
     # root 3-way term (ref :5142-5155)
     root = tree.root
     if tree.n_child[root] == 3:
         c0, c1, c2 = (int(tree.children[root, k]) for k in range(3))
         s_ab = ml.scratch_row(S_AB)
         ml.posterior_into(s_ab, c0, c1, tree.branchlength[c0], tree.branchlength[c1])
-        ll, lk = ml.pair_loglk(s_ab, c2, tree.branchlength[c2], want_site_lk=True)
-        loglk += ll
         if want_site_loglk:
+            ll, lk = ml.pair_loglk(s_ab, c2, tree.branchlength[c2],
+                                   want_site_lk=True)
+            loglk += ll
             site += np.log(np.maximum(lk, 1e-300))
+        else:
+            ll, _ = ml.pair_loglk(s_ab, c2, tree.branchlength[c2], fetch=False)
+            acc = ll if acc is None else acc + ll
+    if acc is not None:
+        loglk += float(acc)          # the ONE blocking fetch
     # Jukes-Cantor gap/log-4 correction (ref :5236-5257)
     if nj.options.n_codes == 4 and ml.jc:
         log4 = math.log(4.0)

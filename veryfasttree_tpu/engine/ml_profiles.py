@@ -37,6 +37,18 @@ N_SCRATCH = 8
 S_AB, S_CD, S_BCD, S_ACD, S_ABD, S_ABC, S_TMP1, S_TMP2 = range(N_SCRATCH)
 
 
+def _pad_vals(vals, n, length, fill, dtype):
+    """Pad a length-n value vector to `length`.  Accepts device arrays (so
+    level-batched sweeps can chain enqueue-only, keeping branch lengths and
+    likelihoods device-resident between dispatches) or host sequences."""
+    if isinstance(vals, jax.Array):
+        return jnp.full((length,), fill, dtype=dtype).at[:n].set(
+            vals.astype(dtype))
+    out = np.full(length, fill, dtype=dtype)
+    out[:n] = vals
+    return jnp.asarray(out)
+
+
 def _pair_loglk_impl(codes, W, V, r1, r2, length, rates, ratecat, eigenval,
                      code_freq, pos_mask, min_rel_len, jc):
     c1, w1, v1 = codes[r1], W[r1], V[r1]
@@ -268,26 +280,32 @@ class MLProfiles:
         return 2 * self.maxnodes + k
 
     # -- core ops ------------------------------------------------------------
-    def pair_loglk(self, r1: int, r2: int, length: float, want_site_lk=False):
+    def pair_loglk(self, r1: int, r2: int, length: float, want_site_lk=False,
+                   fetch=True):
         ll, lk = _pair_loglk(self.codes, self.W, self.V, r1, r2,
                              self.dtype(length), self.rates, self.ratecat,
                              self.eigenval, self.code_freq, self.pos_mask,
                              self.min_rel_len, self.jc)
         self.nj.debug.n_lk_compute += 1
+        if not fetch:
+            return ll, lk[: self.n_pos]
         if want_site_lk:
             return float(ll), np.asarray(lk, dtype=np.float64)[: self.n_pos]
         return float(ll)
 
-    def pair_loglk_rows(self, r1s, r2s, lengths):
+    def pair_loglk_rows(self, r1s, r2s, lengths, fetch=True):
+        """fetch=False returns device arrays (enqueue-only, no blocking sync)
+        so per-level chains can accumulate on device -- see batched.py."""
         r1p, n = _pad_pow2(np.asarray(r1s, dtype=np.int64))
         r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
-        lp = np.zeros(len(r1p), dtype=self.dtype)
-        lp[:n] = lengths
+        lp = _pad_vals(lengths, n, len(r1p), 0.0, self.dtype)
         ll, lk = _pair_loglk_rows(self.codes, self.W, self.V, jnp.asarray(r1p),
-                                  jnp.asarray(r2p), jnp.asarray(lp), self.rates,
+                                  jnp.asarray(r2p), lp, self.rates,
                                   self.ratecat, self.eigenval, self.code_freq,
                                   self.pos_mask, self.min_rel_len, self.jc)
         self.nj.debug.n_lk_compute += n
+        if not fetch:
+            return ll[:n], lk[:n, : self.n_pos]
         return (np.asarray(ll, dtype=np.float64)[:n],
                 np.asarray(lk, dtype=np.float64)[:n, : self.n_pos])
 
@@ -310,21 +328,23 @@ class MLProfiles:
         return np.arange(self.batch_scratch0, self.batch_scratch0 + n,
                          dtype=np.int64)
 
-    def opt_branch_length_rows(self, r1s, r2s, guesses):
-        """Vmapped device Brent across a level -> (lengths, neg_loglks)."""
+    def opt_branch_length_rows(self, r1s, r2s, guesses, fetch=True):
+        """Vmapped device Brent across a level -> (lengths, neg_loglks).
+        fetch=False returns device arrays (enqueue-only chaining)."""
         opts = self.options
         r1p, n = _pad_pow2(np.asarray(r1s, dtype=np.int64))
         r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
-        gp = np.full(len(r1p), 0.1, dtype=self.dtype)
-        gp[:n] = guesses
+        gp = _pad_vals(guesses, n, len(r1p), 0.1, self.dtype)
         xs, fxs = _opt_branch_len_rows(
             self.codes, self.W, self.V, jnp.asarray(r1p), jnp.asarray(r2p),
-            jnp.asarray(gp), self.dtype(opts.ml_min_branch_length),
+            gp, self.dtype(opts.ml_min_branch_length),
             self.dtype(6.0), self.dtype(opts.ml_ftol_branch_length),
             self.dtype(opts.ml_min_branch_length_tolerance), self.rates,
             self.ratecat, self.eigenval, self.code_freq, self.pos_mask,
             self.min_rel_len, self.jc)
         self.nj.debug.n_lk_compute += 8 * n
+        if not fetch:
+            return xs[:n], fxs[:n]
         return (np.asarray(xs, dtype=np.float64)[:n],
                 np.asarray(fxs, dtype=np.float64)[:n])
 
@@ -380,16 +400,14 @@ class MLProfiles:
                           fill=self.scratch_row(S_TMP2))
         r1p, _ = _pad_pow2(np.asarray(r1s, dtype=np.int64))
         r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
-        l1p = np.full(len(tp), 0.1, dtype=self.dtype)
-        l2p = np.full(len(tp), 0.1, dtype=self.dtype)
-        l1p[:n] = len1s
-        l2p[:n] = len2s
+        l1p = _pad_vals(len1s, n, len(tp), 0.1, self.dtype)
+        l2p = _pad_vals(len2s, n, len(tp), 0.1, self.dtype)
         valid = np.zeros(len(tp), dtype=np.float32)
         valid[:n] = 1.0
         self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
             _posterior_rows(
                 self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
-                jnp.asarray(r2p), jnp.asarray(l1p), jnp.asarray(l2p),
+                jnp.asarray(r2p), l1p, l2p,
                 jnp.asarray(valid), self.rates, self.ratecat, self.eigenval,
                 self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
                 self.min_len, self.jc, self.tol, self.use_approx, self.near_p,
