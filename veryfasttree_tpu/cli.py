@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
       help="devices along the alignment-position axis (default: all)")
     a("-mesh-dp", type=int, default=1, metavar="n",
       help="devices along the candidate/data axis")
+    a("-coordinator", default="", metavar="host:port",
+      help="multi-host: jax.distributed coordinator address (run the same "
+           "command on every host with matching -n-hosts and its -host-id)")
+    a("-n-hosts", type=int, default=0, metavar="k",
+      help="multi-host: number of participating processes")
+    a("-host-id", type=int, default=None, metavar="i",
+      help="multi-host: this process's id (0..k-1; 0 writes the output)")
     a("-two-tier-min", type=int, default=20000, metavar="n",
       help="store leaves as int8 codes only (16x HBM cut) at >= n unique "
            "sequences; 0 forces two-tier, -1 disables it")
@@ -275,6 +282,9 @@ def args_to_options(ns) -> Options:
     opts.relative_progress = getattr(ns, "relative_progress")
     opts.mesh_sp = getattr(ns, "mesh_sp")
     opts.mesh_dp = getattr(ns, "mesh_dp")
+    opts.coordinator = getattr(ns, "coordinator")
+    opts.n_hosts = getattr(ns, "n_hosts")
+    opts.host_id = getattr(ns, "host_id")
     opts.two_tier_min = getattr(ns, "two_tier_min")
     opts.checkpoint_file = ns.checkpoint
     return opts
@@ -333,6 +343,11 @@ def main(argv=None) -> int:
         else:
             in_fp = sys.stdin
         out_fp = open(opts.out_file_name, "w") if opts.out_file_name else sys.stdout
+        if opts.coordinator and (opts.host_id or 0) != 0:
+            # multi-host: every process computes (lockstep collectives), but
+            # only host 0 writes the tree
+            import io as _io
+            out_fp = _io.StringIO()
         try:
             run_pipeline(opts, in_fp, out_fp, log_fp=log)
         finally:

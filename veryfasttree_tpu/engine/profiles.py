@@ -43,6 +43,18 @@ from ..constants import NOCODE
 from ..ops import kernels
 
 
+def fetch_np(x, dtype=None):
+    """Device->host fetch that is safe under multi-process (multi-host)
+    meshes: arrays spanning non-addressable devices are allgathered first
+    (every process runs the identical host orchestration, so the collective
+    is reached in lockstep on all hosts).  Single-process arrays take the
+    plain np.asarray path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x) if dtype is None else np.asarray(x, dtype=dtype)
+
+
 def _pad_pow2(idx: np.ndarray, fill: int = 0):
     n = len(idx)
     m = max(1, 1 << (n - 1).bit_length()) if n else 1
@@ -474,42 +486,42 @@ class MEProfiles:
                 jnp.zeros(self.U.shape[0], dtype=self.dtype), 3,
                 np.asarray(self.eigenval) if self.use_matrix else None)
         else:
-            out = np.asarray(_dist_all(
+            out = fetch_np(_dist_all(
                 self.codes, self.W, self.U, uq, wq, self.n_seqs,
                 self.eigenval, self.code_freq, self.use_matrix,
-                self.two_tier, _accum_dtype()), dtype=np.float64)
+                self.two_tier, _accum_dtype()), np.float64)
             half = len(out) // 2
             return out[:half], out[half:]
-        return np.asarray(d, dtype=np.float64), np.asarray(w, dtype=np.float64)
+        return fetch_np(d, np.float64), fetch_np(w, np.float64)
 
     def dist_many_vs_leaves(self, rows: np.ndarray):
         """Wave seed scan: [K] query rows vs all leaves -> (dist, weight)
         numpy arrays of shape [K, n_seqs]."""
         rpad, n = _pad_pow2(np.asarray(rows, dtype=np.int64))
-        out = np.asarray(_dist_many_vs_leaves(
+        out = fetch_np(_dist_many_vs_leaves(
             self.codes, self.W, self.U, jnp.asarray(rpad), self.n_seqs,
             self.eigenval, self.code_freq, self.use_matrix, self.two_tier,
-            _accum_dtype()), dtype=np.float64)
+            _accum_dtype()), np.float64)
         K = len(rpad)
         return out[:n], out[K: K + n]
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
         uq, wq = self.row_query(i)
         jpad, n = _pad_pow2(np.asarray(js, dtype=np.int64))
-        out = np.asarray(_dist_gather(
+        out = fetch_np(_dist_gather(
             self.codes, self.W, self.U, jnp.asarray(jpad), uq, wq,
             self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
-            self.two_tier, _accum_dtype()), dtype=np.float64)
+            self.two_tier, _accum_dtype()), np.float64)
         K = len(jpad)
         return out[:n], out[K: K + n]
 
     def dist_pairs(self, iis: np.ndarray, jjs: np.ndarray):
         ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
-        out = np.asarray(_dist_rows(
+        out = fetch_np(_dist_rows(
             self.codes, self.W, self.U, jnp.asarray(ipad), jnp.asarray(jpad),
             self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
-            self.two_tier, _accum_dtype()), dtype=np.float64)
+            self.two_tier, _accum_dtype()), np.float64)
         K = len(ipad)
         return out[:n], out[K: K + n]
 
@@ -520,8 +532,8 @@ class MEProfiles:
         p, w = _dist_pieces(self.codes, self.W, self.U, jnp.asarray(ipad),
                             jnp.asarray(jpad), self.n_seqs, self.eigenval,
                             self.code_freq, self.use_matrix, self.two_tier)
-        return (np.asarray(p, dtype=np.float64)[:n, : self.n_pos],
-                np.asarray(w, dtype=np.float64)[:n, : self.n_pos])
+        return (fetch_np(p, np.float64)[:n, : self.n_pos],
+                fetch_np(w, np.float64)[:n, : self.n_pos])
 
     def refresh_and_pairs(self, rrows: np.ndarray, iis: np.ndarray,
                           jjs: np.ndarray):
@@ -535,7 +547,7 @@ class MEProfiles:
             jnp.asarray(rpad), jnp.asarray(ipad), jnp.asarray(jpad),
             self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
             self.two_tier, _accum_dtype())
-        out = np.asarray(out, dtype=np.float64)
+        out = fetch_np(out, np.float64)
         R, K = len(rpad), len(ipad)
         return (out[:n_r], out[R: R + n_r],
                 out[2 * R: 2 * R + n_k], out[2 * R + K: 2 * R + K + n_k])
@@ -544,10 +556,10 @@ class MEProfiles:
         """profileDist(node, outprofile) for a set of nodes -> (dist, weight)."""
         uq, wq = self.out_query()
         ipad, n = _pad_pow2(np.asarray(idx, dtype=np.int64))
-        out = np.asarray(_dist_gather(
+        out = fetch_np(_dist_gather(
             self.codes, self.W, self.U, jnp.asarray(ipad), uq, wq,
             self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
-            self.two_tier, _accum_dtype()), dtype=np.float64)
+            self.two_tier, _accum_dtype()), np.float64)
         K = len(ipad)
         return out[:n], out[K: K + n]
 

@@ -106,6 +106,11 @@ class Options:
     # Live jax.sharding.Mesh built from mesh_sp/mesh_dp by the pipeline
     # (parallel.mesh.mesh_from_options); None = single-device.
     mesh: Optional[object] = None
+    # Multi-host: jax.distributed init (parallel.multihost); when set, the
+    # mesh spans every host's devices and fetches allgather over DCN.
+    coordinator: str = ""
+    n_hosts: int = 0
+    host_id: Optional[int] = None
     # Array-state checkpoint file: written after every ML-NNI round; if it
     # exists at startup, the run resumes from it (tree + profile stores +
     # rates + NNI aging state).  Empty = disabled; the reference's

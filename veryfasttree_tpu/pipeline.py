@@ -157,6 +157,10 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
 
 def _run_single(options, input_fp, output_fp, log_fp=None):
     import jax
+    # multi-host init must precede the first backend-initializing call
+    # (jax.default_backend() below)
+    from .parallel.multihost import maybe_init_distributed
+    maybe_init_distributed(options)
     # near-tie join/NNI decisions need full f32 matmul accumulation on TPU
     # (default is bfloat16 inputs); the Pallas kernels already run HIGHEST.
     jax.config.update("jax_default_matmul_precision", "highest")
