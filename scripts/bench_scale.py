@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Scaling battery: end-to-end -noml NJ at large N on the live backend.
+
+Reports per-phase wall (store init, top-hits seeding, join epoch), joins/s,
+and peak device memory vs the hbm_plan prediction.  The point (VERDICT r3
+item 4): demonstrate per-join cost stays ~O(sqrt N) -- the epoch's own work
+per join is O(m) row gathers, m = 1.5 sqrt(N) -- not O(N).
+
+Usage: python scripts/bench_scale.py [N ...]   (default 5000 20000 100000)
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_one(n, p=500):
+    import jax
+    import numpy as np
+
+    from bench_e2e import synth_codes
+    from veryfasttree_tpu.engine.nj import NeighbourJoining
+    from veryfasttree_tpu.options import Options
+
+    codes = synth_codes(n, p)
+    opts = Options(n_codes=4, show_progress=False)
+    opts.derive_settings()
+
+    t0 = time.perf_counter()
+    nj = NeighbourJoining(opts, codes, None, None)
+    t_store = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    nj.fast_nj()
+    t_join = time.perf_counter() - t0
+
+    joins = n - 3
+    mem = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        mem = {"peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)}
+    except Exception:
+        pass
+    # total ME tree length as the self-check quality metric (finite, sane)
+    from veryfasttree_tpu.engine import rearrange
+    rearrange.update_branch_lengths(nj)
+    tl = float(np.sum(np.abs(nj.tree.branchlength[: nj.tree.maxnode])))
+    out = {
+        "N": n, "P": p,
+        "store_s": round(t_store, 1),
+        "join_phase_s": round(t_join, 1),
+        "joins_per_s": round(joins / t_join, 1),
+        "ms_per_join": round(1000 * t_join / joins, 3),
+        "tree_length": round(tl, 2),
+        "two_tier": bool(nj.prof.two_tier),
+        **mem,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from veryfasttree_tpu.pipeline import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    jax.config.update("jax_default_matmul_precision", "highest")
+    print(f"backend={jax.default_backend()}", flush=True)
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(8) + 1)
+    print(f"warm_d2h={time.perf_counter()-t0:.1f}s", flush=True)
+
+    sizes = [int(x) for x in sys.argv[1:]] or [5000, 20000, 100000]
+    for n in sizes:
+        run_one(n)
+
+
+if __name__ == "__main__":
+    main()

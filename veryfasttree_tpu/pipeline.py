@@ -147,11 +147,13 @@ def run_pipeline(options, input_fp, output_fp, log_fp=None):
     """The full inference pipeline.  With -n > 1, analyzes multiple
     alignments from the same (phylip) stream (ref main.cpp:89, "global
     bootstrap" use).  Returns the last alignment's NJ engine."""
+    from .utils.trace import maybe_trace
     result = None
-    for i_aln in range(options.n_align):
-        if i_aln > 0:
-            options.in_file_name = ""  # only the first read can use the native path
-        result = _run_single(options, input_fp, output_fp, log_fp)
+    with maybe_trace():   # VFT_TRACE=dir -> jax-profiler device trace
+        for i_aln in range(options.n_align):
+            if i_aln > 0:
+                options.in_file_name = ""  # only the first read can use the native path
+            result = _run_single(options, input_fp, output_fp, log_fp)
     return result
 
 
