@@ -29,18 +29,26 @@ ORACLE = os.environ.get("VFT_ORACLE", "/tmp/refbuild/VeryFastTree")
 
 
 def run_once(codes):
-    from veryfasttree_tpu.engine.nj import NeighbourJoining
-    from veryfasttree_tpu.options import Options
+    """Full -noml -nosupport pipeline (NJ + ME NNI + SPR + branch lengths),
+    matching exactly what the reference binary is timed doing."""
+    import io
 
-    opts = Options(n_codes=4, show_progress=False)
+    from bench_e2e import ALPHA
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    lines = []
+    for i, row in enumerate(codes):
+        lines.append(f">s{i}")
+        lines.append("".join(ALPHA[c] for c in row))
+    fasta = io.StringIO("\n".join(lines) + "\n")
+    opts = Options(n_codes=4, show_progress=False, ml_nni=0, n_bootstrap=0)
     opts.derive_settings()
+    out = io.StringIO()
     t0 = time.perf_counter()
-    nj = NeighbourJoining(opts, codes, None, None)
-    t_setup = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    nj.fast_nj()
-    t_join = time.perf_counter() - t0
-    return t_setup, t_join
+    nj = run_pipeline(opts, fasta, out)
+    t_wall = time.perf_counter() - t0
+    return nj, t_wall
 
 
 def main():
@@ -65,11 +73,8 @@ def main():
     np.asarray(jnp.zeros(8) + 1)
     t_d2h = time.perf_counter() - t0
 
-    setup_cold, join_cold = run_once(codes)
-    setup_warm, join_warm = run_once(codes)
-    wall_cold = setup_cold + join_cold
-    wall_warm = setup_warm + join_warm
-    joins_per_s = joins / join_warm
+    _, wall_cold = run_once(codes)
+    _, wall_warm = run_once(codes)
 
     # reference binary on the same input (the upstream CPU implementation)
     t_ref = None
@@ -84,14 +89,12 @@ def main():
             t_ref = time.perf_counter() - t0
 
     out = {
-        "metric": f"NJ wall-to-tree (N={n}, P={p}, nt, {backend})",
+        "metric": f"-noml wall-to-tree (N={n}, P={p}, nt, {backend})",
         "value": round(wall_warm, 2),
         "unit": "s",
         "vs_baseline": round(t_ref / wall_warm, 3) if t_ref else None,
         "vs_baseline_cold": round(t_ref / wall_cold, 3) if t_ref else None,
-        "joins_per_s_warm": round(joins_per_s, 2),
-        "join_phase_s": round(join_warm, 2),
-        "setup_s": round(setup_warm, 2),
+        "joins_per_s_warm": round(joins / wall_warm, 2),
         "wall_cold_s": round(wall_cold, 2),
         "d2h_channel_open_s": round(t_d2h, 2),
         "reference_wall_s": round(t_ref, 2) if t_ref else None,

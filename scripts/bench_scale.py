@@ -18,11 +18,15 @@ sys.path.insert(0, REPO)
 
 
 def run_one(n, p=500):
+    import math
+
     import jax
     import numpy as np
 
     from bench_e2e import synth_codes
+    from veryfasttree_tpu.engine import epoch as epoch_mod
     from veryfasttree_tpu.engine.nj import NeighbourJoining
+    from veryfasttree_tpu.engine.tophits import TopHits
     from veryfasttree_tpu.options import Options
 
     codes = synth_codes(n, p)
@@ -34,7 +38,14 @@ def run_one(n, p=500):
     t_store = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    nj.fast_nj()
+    m = int(0.5 + opts.tophits_mult * math.sqrt(nj.n_seqs))
+    th = TopHits(opts, nj.maxnodes, m)
+    th.set_all_leaf_tophits(nj)
+    th.reset_top_visible(nj, nj.n_seqs)
+    t_tophits = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    epoch_mod.run_epoch(nj, th)
     t_join = time.perf_counter() - t0
 
     joins = n - 3
@@ -51,7 +62,8 @@ def run_one(n, p=500):
     out = {
         "N": n, "P": p,
         "store_s": round(t_store, 1),
-        "join_phase_s": round(t_join, 1),
+        "tophits_s": round(t_tophits, 1),
+        "epoch_s": round(t_join, 1),
         "joins_per_s": round(joins / t_join, 1),
         "ms_per_join": round(1000 * t_join / joins, 3),
         "tree_length": round(tl, 2),

@@ -195,14 +195,42 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
     def out_query(s):
         return f(s.w_out[:, None] * s.f_out), f(s.w_out)
 
+    # Expanded row stacks must stay bounded: a [K, P, C] leaf expansion with
+    # large K gets a C-minor T(8,128) layout on TPU whose 4->128 lane padding
+    # is a 32x memory blowup (a K=80000 refresh at N=20000 is a 20.9 GB
+    # allocation -- compile OOM).  Big-K distance paths therefore lax.map
+    # over fixed-size chunks, fusing the contraction into each chunk so only
+    # [CHUNK, P, C] is ever materialized.  Per-row math is unchanged.
+    GCHUNK = 2048
+
+    def _chunked_rows(nodes, body):
+        """Pad `nodes` to a CHUNK multiple, map `body` over [CHUNK] slices,
+        return the flat [K] results (tuple-valued body supported)."""
+        K = nodes.shape[0]
+        nc = ((K + GCHUNK - 1) // GCHUNK) * GCHUNK
+        padded = jnp.concatenate(
+            [nodes, jnp.zeros((nc - K,), dtype=nodes.dtype)])
+        out = jax.lax.map(body, padded.reshape(-1, GCHUNK))
+        return tuple(o.reshape(-1)[:K] for o in out)
+
+    def dist_vs_out(s, nodes):
+        """Raw (dist, weight) of `nodes` vs the current out-profile."""
+        uq, wq = out_query(s)
+
+        def one_chunk(rows):
+            u, w = row_uw(s, rows)
+            return kernels.me_dist_many(u, w, uq, wq, ev_cd)
+
+        if nodes.shape[0] <= GCHUNK:
+            return one_chunk(nodes)
+        return _chunked_rows(nodes, one_chunk)
+
     def refresh_vals(s, nodes, na):
         """Fresh out-distance values of `nodes` vs the current out-profile
         (setOutDistance, ref tcc:1012-1083): row gathers + one contraction,
         mirroring the host prof.dist_set_vs_out; no state writes."""
         nc = clip_ids(nodes)
-        u, w = row_uw(s, nc)
-        uq, wq = out_query(s)
-        d, wt = kernels.me_dist_many(u, w, uq, wq, ev_cd)
+        d, wt = dist_vs_out(s, nc)
         na_f = na.astype(cd)
         return kernels.out_distance_from_hit(
             d, wt, s.selfdist[nc], s.selfweight[nc],
@@ -275,9 +303,19 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
         return s, crit
 
     def pair_dists(s, iis, jjs):
-        u1, w1 = row_uw(s, iis)
-        u2, w2 = row_uw(s, jjs)
-        return kernels.me_dist_rows(u1, w1, u2, w2, ev_cd)
+        def one_chunk(pair):
+            u1, w1 = row_uw(s, pair[0])
+            u2, w2 = row_uw(s, pair[1])
+            return kernels.me_dist_rows(u1, w1, u2, w2, ev_cd)
+
+        if iis.shape[0] <= GCHUNK:
+            return one_chunk((iis, jjs))
+        K = iis.shape[0]
+        nc = ((K + GCHUNK - 1) // GCHUNK) * GCHUNK
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((nc - K,), dtype=x.dtype)]).reshape(-1, GCHUNK)
+        d, wt = jax.lax.map(one_chunk, (pad(iis), pad(jjs)))
+        return d.reshape(-1)[:K], wt.reshape(-1)[:K]
 
     def count_pair_ops(s, iis, jjs, valid):
         leafpair = (iis < n_seqs) & (jjs < n_seqs) & valid
@@ -749,10 +787,29 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
             mi = mask_int.astype(dt)
             accum = jnp.einsum("m,mpc->pc", mi, U_c)
             w_sum = jnp.einsum("m,mp->p", mi, W_c)
-            u_l, w_l = kernels.leaf_u(codes_c[:n_seqs], code_freq, dt)
-            ml = mask_leaf.astype(dt)
-            accum = accum + jnp.einsum("m,mpc->pc", ml, u_l)
-            w_sum = w_sum + jnp.einsum("m,mp->p", ml, w_l)
+            # leaf contributions accumulate from codes in CHUNK blocks --
+            # the SAME loop as the host profiles._outprofile_full, for both
+            # bit-identical order and bounded leaf-expansion memory
+            CHUNK = 1024
+            n_chunks = (n_seqs + CHUNK - 1) // CHUNK
+            pad = n_chunks * CHUNK
+            from ..constants import NOCODE as _NOCODE
+            codes_l = jnp.pad(codes_c[:n_seqs], ((0, pad - n_seqs), (0, 0)),
+                              constant_values=_NOCODE)
+            mask_l = jnp.pad(mask_leaf, (0, pad - n_seqs))
+
+            def lbody(k, carry):
+                accum, w_sum = carry
+                blk = jax.lax.dynamic_slice_in_dim(codes_l, k * CHUNK, CHUNK, 0)
+                mb = jax.lax.dynamic_slice_in_dim(mask_l, k * CHUNK, CHUNK, 0)
+                u_l, w_l = kernels.leaf_u(blk, code_freq, dt)
+                mf = mb.astype(dt)
+                accum = accum + jnp.einsum("m,mpc->pc", mf, u_l)
+                w_sum = w_sum + jnp.einsum("m,mp->p", mf, w_l)
+                return accum, w_sum
+
+            accum, w_sum = jax.lax.fori_loop(0, n_chunks, lbody,
+                                             (accum, w_sum))
             w_out = jnp.maximum(w_sum / jnp.maximum(n, 1), 1e-20)
         nC = code_freq.shape[0]
         fallback = code_freq[0] if use_matrix else jnp.full(

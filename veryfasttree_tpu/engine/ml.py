@@ -302,15 +302,21 @@ def tree_loglk(nj, want_site_loglk=False):
     Without site log-lks, the per-level sums accumulate ON DEVICE and the
     whole traversal is enqueue-only with ONE blocking fetch at the end (the
     per-level fetches were the axon ML-phase bottleneck: ~25 ms x levels x
-    rounds).  The site-loglk path keeps host (numpy pairwise) accumulation
-    so per-site CAT-rate argmax decisions stay bit-stable."""
+    rounds).  The site-loglk path does the same on accelerator backends;
+    on CPU (the oracle-parity rig) it keeps host numpy accumulation so
+    per-site CAT-rate argmax decisions stay bit-stable."""
+    import jax
+    import jax.numpy as jnp
+
     tree = nj.tree
     ml = nj.ml
     if nj.n_seqs < 2:
         return (0.0, None) if want_site_loglk else 0.0
+    host_site = want_site_loglk and jax.default_backend() == "cpu"
     loglk = 0.0
     acc = None
-    site = np.zeros(nj.n_pos) if want_site_loglk else None
+    site_acc = None
+    site = np.zeros(nj.n_pos) if host_site else None
     for level in tree.level_lists():
         nodes = [int(nd) for nd in level if tree.n_child[nd] >= 2]
         pairs = [nd for nd in nodes]
@@ -320,30 +326,39 @@ def tree_loglk(nj, want_site_loglk=False):
         r2s = [int(tree.children[nd, 1]) for nd in pairs]
         lens = [tree.branchlength[r1] + tree.branchlength[r2]
                 for r1, r2 in zip(r1s, r2s)]
-        if want_site_loglk:
+        if host_site:
             lls, lks = ml.pair_loglk_rows(r1s, r2s, lens)
             loglk += float(lls.sum())
             site += np.log(np.maximum(lks, 1e-300)).sum(axis=0)
         else:
-            lls, _ = ml.pair_loglk_rows(r1s, r2s, lens, fetch=False)
+            lls, lks = ml.pair_loglk_rows(r1s, r2s, lens, fetch=False)
             s = lls.sum()
             acc = s if acc is None else acc + s
+            if want_site_loglk:
+                ssum = jnp.log(jnp.maximum(lks, 1e-300)).sum(axis=0)
+                site_acc = ssum if site_acc is None else site_acc + ssum
     # root 3-way term (ref :5142-5155)
     root = tree.root
     if tree.n_child[root] == 3:
         c0, c1, c2 = (int(tree.children[root, k]) for k in range(3))
         s_ab = ml.scratch_row(S_AB)
         ml.posterior_into(s_ab, c0, c1, tree.branchlength[c0], tree.branchlength[c1])
-        if want_site_loglk:
+        if host_site:
             ll, lk = ml.pair_loglk(s_ab, c2, tree.branchlength[c2],
                                    want_site_lk=True)
             loglk += ll
             site += np.log(np.maximum(lk, 1e-300))
         else:
-            ll, _ = ml.pair_loglk(s_ab, c2, tree.branchlength[c2], fetch=False)
+            ll, lk = ml.pair_loglk(s_ab, c2, tree.branchlength[c2],
+                                   fetch=False)
             acc = ll if acc is None else acc + ll
+            if want_site_loglk:
+                sroot = jnp.log(jnp.maximum(lk, 1e-300))
+                site_acc = sroot if site_acc is None else site_acc + sroot
     if acc is not None:
         loglk += float(acc)          # the ONE blocking fetch
+    if site_acc is not None:
+        site = np.asarray(site_acc, dtype=np.float64)[: nj.n_pos]
     # Jukes-Cantor gap/log-4 correction (ref :5236-5257)
     if nj.options.n_codes == 4 and ml.jc:
         log4 = math.log(4.0)

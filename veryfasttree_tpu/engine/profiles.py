@@ -154,16 +154,43 @@ def _dist_many_vs_leaves(codes, W, U, rows, n_seqs, eigenval, code_freq,
     return jnp.concatenate([dist, denom])
 
 
+# Expanded [K, P, C] row stacks with large K get a C-minor tiled layout on
+# TPU whose 4->128 lane padding is a ~32x memory blowup; gather+contract
+# paths therefore lax.map over fixed-size chunks above this bound (per-row
+# math unchanged -- row reductions are row-local).
+_GCHUNK = 2048
+
+
+def _map_chunks(body, arrays, K):
+    nc = ((K + _GCHUNK - 1) // _GCHUNK) * _GCHUNK
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((nc - K,), dtype=x.dtype)]).reshape(-1, _GCHUNK)
+    out = jax.lax.map(body, tuple(pad(x) for x in arrays))
+    return tuple(o.reshape(-1)[:K] for o in out)
+
+
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
                  use_matrix, two_tier, up=None):
     """Query vs gathered rows -> concat [dist, denom] (one packed fetch)."""
-    _, Wj, Uj = _rows_cwu(codes, W, U, js, code_freq, n_seqs, two_tier)
     ev = eigenval if use_matrix else None
     if up is not None:
-        Uj, Wj, uq, wq = (x.astype(up) for x in (Uj, Wj, uq, wq))
+        uq = uq.astype(up)
+        wq = wq.astype(up)
         ev = ev.astype(up) if ev is not None else None
-    d, w = kernels.me_dist_many(Uj, Wj, uq, wq, ev)
+
+    def one_chunk(rows):
+        if isinstance(rows, tuple):   # lax.map passes the pytree through
+            rows, = rows
+        _, Wj, Uj = _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier)
+        if up is not None:
+            Uj, Wj = Uj.astype(up), Wj.astype(up)
+        return kernels.me_dist_many(Uj, Wj, uq, wq, ev)
+
+    if len(js) <= _GCHUNK:
+        d, w = one_chunk(js)
+    else:
+        d, w = _map_chunks(one_chunk, (js,), len(js))
     return jnp.concatenate([d, w])
 
 
@@ -171,13 +198,22 @@ def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
 def _dist_rows(codes, W, U, iis, jjs, n_seqs, eigenval, code_freq,
                use_matrix, two_tier, up=None):
     """Row-pair distances -> concat [dist, denom] (one packed fetch)."""
-    _, W1, U1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
-    _, W2, U2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
     ev = eigenval if use_matrix else None
     if up is not None:
-        U1, W1, U2, W2 = (x.astype(up) for x in (U1, W1, U2, W2))
         ev = ev.astype(up) if ev is not None else None
-    d, w = kernels.me_dist_rows(U1, W1, U2, W2, ev)
+
+    def one_chunk(pair):
+        ii, jj = pair
+        _, W1, U1 = _rows_cwu(codes, W, U, ii, code_freq, n_seqs, two_tier)
+        _, W2, U2 = _rows_cwu(codes, W, U, jj, code_freq, n_seqs, two_tier)
+        if up is not None:
+            U1, W1, U2, W2 = (x.astype(up) for x in (U1, W1, U2, W2))
+        return kernels.me_dist_rows(U1, W1, U2, W2, ev)
+
+    if len(iis) <= _GCHUNK:
+        d, w = one_chunk((iis, jjs))
+    else:
+        d, w = _map_chunks(one_chunk, (iis, jjs), len(iis))
     return jnp.concatenate([d, w])
 
 
