@@ -751,50 +751,52 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
             s = force_refresh(s, nn, jnp.asarray([True]), na - 1)
         return s, newnode
 
-    def merged_store(s):
-        """Temporary (codes, W, U) with this segment's side rows scattered
-        into (functional copies of) the main store.  Only called inside
-        rarely-taken branches (out-profile reset, full list refresh) so the
-        full-store copy it materialises is amortised; it restores the exact
-        single-pass accumulation order of a contiguous store, keeping those
-        paths bit-identical to the host."""
+    def side_mask(s):
+        """Active-row mask over the side buffer (node ids seg_base + t)."""
         ids = seg_base + jnp.arange(S, dtype=jnp.int32)
-        ok = ids < s.maxnode
-        ctgt = jnp.where(ok, ids, codes_m.shape[0])
-        codes_c = codes_m.at[ctgt].set(s.side_c, mode="drop")
-        phys = ids - n_seqs if two_tier else ids
-        ptgt = jnp.where(ok, phys, W_m.shape[0])
-        W_c = W_m.at[ptgt].set(s.side_w, mode="drop")
-        U_c = U_m.at[ptgt].set(s.side_u, mode="drop")
-        return codes_c, W_c, U_c
+        return (ids < s.maxnode) & (s.parent[clip_ids(ids)] < 0), ids
 
     def _outprofile_dev(s, act):
-        """outProfile over active rows (ref tcc:729-815), two-tier aware."""
+        """outProfile over active rows (ref tcc:729-815), two-tier aware.
+
+        The main store is accumulated with rows >= seg_base masked out and
+        the side buffer added right after -- element-wise this equals the
+        host's single contiguous-store pass (side rows ARE the tail of the
+        row range), without materialising a merged full-store copy (whose
+        C-minor tiled layout is a 32x-padded allocation on TPU)."""
         dt = store_dt
-        codes_c, W_c, U_c = merged_store(s)
         n = jnp.sum(act)
+        in_main = jnp.arange(M) < seg_base
+        sm, _ = side_mask(s)
+        ms = sm.astype(dt)
         if not two_tier:
-            fm = jnp.zeros((U_c.shape[0],), dtype=dt)
-            fm = fm.at[: M].set(act.astype(dt))
-            w_out = jnp.einsum("m,mp->p", fm, W_c) / jnp.maximum(n, 1)
-            w_out = jnp.maximum(w_out, 1e-20)
-            accum = jnp.einsum("m,mpc->pc", fm, U_c)
+            fm = jnp.zeros((U_m.shape[0],), dtype=dt)
+            fm = fm.at[: M].set((act & in_main).astype(dt))
+            w_sum = jnp.einsum("m,mp->p", fm, W_m) \
+                + jnp.einsum("s,sp->p", ms, s.side_w)
+            w_out = jnp.maximum(w_sum / jnp.maximum(n, 1), 1e-20)
+            accum = jnp.einsum("m,mpc->pc", fm, U_m) \
+                + jnp.einsum("s,spc->pc", ms, s.side_u)
         else:
             mask_leaf = act[:n_seqs]
-            n_int = U_c.shape[0]
+            n_int = U_m.shape[0]
             mask_int = jnp.zeros((n_int,), dtype=bool)
-            mask_int = mask_int.at[: M - n_seqs].set(act[n_seqs:])
+            mask_int = mask_int.at[: M - n_seqs].set(
+                act[n_seqs:] & in_main[n_seqs:])
             mi = mask_int.astype(dt)
-            accum = jnp.einsum("m,mpc->pc", mi, U_c)
-            w_sum = jnp.einsum("m,mp->p", mi, W_c)
+            accum = jnp.einsum("m,mpc->pc", mi, U_m) \
+                + jnp.einsum("s,spc->pc", ms, s.side_u)
+            w_sum = jnp.einsum("m,mp->p", mi, W_m) \
+                + jnp.einsum("s,sp->p", ms, s.side_w)
             # leaf contributions accumulate from codes in CHUNK blocks --
             # the SAME loop as the host profiles._outprofile_full, for both
-            # bit-identical order and bounded leaf-expansion memory
+            # bit-identical order and bounded leaf-expansion memory (leaves
+            # are never staged in the side buffer, so main codes suffice)
             CHUNK = 1024
             n_chunks = (n_seqs + CHUNK - 1) // CHUNK
             pad = n_chunks * CHUNK
             from ..constants import NOCODE as _NOCODE
-            codes_l = jnp.pad(codes_c[:n_seqs], ((0, pad - n_seqs), (0, 0)),
+            codes_l = jnp.pad(codes_m[:n_seqs], ((0, pad - n_seqs), (0, 0)),
                               constant_values=_NOCODE)
             mask_l = jnp.pad(mask_leaf, (0, pad - n_seqs))
 
@@ -878,21 +880,28 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
         # set_out_distance(active, na) non-forced
         mask = act & (s.noda != na)
         s = force_refresh(s, nodes, mask, na)
-        # one-vs-all scan of newnode (merged store: bit-identical to the
-        # host's contiguous-store scan)
+        # one-vs-all scan of newnode: main store directly, then overlay the
+        # side rows' results (per-row contractions are row-local, so this is
+        # value-identical to a contiguous-store scan without materialising a
+        # merged full-store copy)
         u_new, w_new = row_uw(s, jnp.asarray([newnode], dtype=jnp.int32))
-        codes_c, W_c, U_c = merged_store(s)
         if two_tier:
             d_leaf, w_leaf = kernels.me_dist_many_codes(
-                codes_c[:n_seqs], u_new[0], w_new[0], ev_cd, f(code_freq), cd)
-            d_int, w_int_d = kernels.me_dist_many(f(U_c), f(W_c), u_new[0],
+                codes_m[:n_seqs], u_new[0], w_new[0], ev_cd, f(code_freq), cd)
+            d_int, w_int_d = kernels.me_dist_many(f(U_m), f(W_m), u_new[0],
                                                   w_new[0], ev_cd)
             d_all = jnp.concatenate([d_leaf, d_int])[:M]
             wt_all = jnp.concatenate([w_leaf, w_int_d])[:M]
         else:
-            d_all, wt_all = kernels.me_dist_many(f(U_c), f(W_c), u_new[0],
+            d_all, wt_all = kernels.me_dist_many(f(U_m), f(W_m), u_new[0],
                                                  w_new[0], ev_cd)
             d_all, wt_all = d_all[:M], wt_all[:M]
+        d_side, w_side = kernels.me_dist_many(f(s.side_u), f(s.side_w),
+                                              u_new[0], w_new[0], ev_cd)
+        _, side_ids = side_mask(s)
+        stgt = jnp.where(side_ids < s.maxnode, side_ids, M)
+        d_all = d_all.at[stgt].set(d_side, mode="drop")
+        wt_all = wt_all.at[stgt].set(w_side, mode="drop")
         dist = d_all - (s.diameter[newnode] + s.diameter)
         dist = add_penalty(s, dist, jnp.full((M,), newnode, jnp.int32), nodes)
         s = s._replace(ctr=_ctr_add(s.ctr, C_PROF, jnp.sum(act)))
