@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import kernels
-from .profiles import _accum_dtype, _rows_cwu
+from .profiles import _accum_dtype
 
 INVALID = jnp.int32(2**31 - 1)
 BIG = 1e20
@@ -66,7 +66,7 @@ class EpochState(NamedTuple):
     # segments).  Row `t` holds node id seg_base + t.
     side_c: jax.Array      # [S, P] codes dtype
     side_w: jax.Array      # [S, P] store dtype
-    side_u: jax.Array      # [S, P, C] store dtype
+    side_u: jax.Array      # [S, P*C] store dtype (2D like the epoch's U_m)
     w_out: jax.Array
     f_out: jax.Array
     # per-node NJ bookkeeping [maxnodes]
@@ -135,7 +135,11 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
                stale_limit, refresh_thresh, age_limit, reset_n, reset_f,
                up=None, ablate=frozenset(), n_cons=0, con_weight=100.0):
     # codes_m/W_m/U_m: the main profile store, READ-ONLY here (module
-    # docstring).  seg_base: first node id staged in the side buffers
+    # docstring).  U_m arrives PRE-FLATTENED [rows, P*C]: full-store matmuls
+    # run natively on it, and only small gathered tiles reshape to [K, P, C]
+    # (the 3D store's natural layout would force a 32x-padded transpose copy
+    # for every full-store contraction -- 14.7 GB at N=20000).
+    # seg_base: first node id staged in the side buffers
     # (= maxnode at segment entry).  seg_end: cumulative nj_done to stop at.
     # `ablate` (perf-debug only, env VFT_EPOCH_ABLATE=a,b,...): skip named
     # phases to attribute device time inside the fused loop.  Results are
@@ -172,19 +176,34 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
 
         return jax.lax.while_loop(cond, body, x)
 
+    Pp = W_m.shape[1]              # padded position count
+    C = code_freq.shape[1]
+
     def row_cwu(s, rows):
-        """(codes, w, u) stacks for row ids in STORE dtype, gathering from
-        the read-only main store or the segment side buffer (node ids >=
-        seg_base), with two-tier leaf expansion inside (host _rows_cwu)."""
+        """(codes, w, u[K,P,C]) stacks for row ids in STORE dtype, gathering
+        from the read-only main store (2D U) or the segment side buffer
+        (node ids >= seg_base), with two-tier leaf expansion inside --
+        value-identical to the host _rows_cwu (reshape is pure indexing)."""
         rc = clip_ids(rows)
         in_side = rc >= seg_base
         main_r = jnp.where(in_side, 0, rc)
-        c_m, w_m, u_m = _rows_cwu(codes_m, W_m, U_m, main_r, code_freq,
-                                  n_seqs, two_tier)
+        c_m = codes_m[main_r]
+        if two_tier:
+            is_leaf = main_r < n_seqs
+            phys = jnp.maximum(main_r - n_seqs, 0)
+            w_i = W_m[phys]
+            u_i = U_m[phys].reshape(-1, Pp, C)
+            u_l, w_l = kernels.leaf_u(c_m, code_freq, U_m.dtype)
+            w_m = jnp.where(is_leaf[:, None], w_l, w_i)
+            u_m = jnp.where(is_leaf[:, None, None], u_l, u_i)
+        else:
+            w_m = W_m[main_r]
+            u_m = U_m[main_r].reshape(-1, Pp, C)
         si = jnp.clip(rc - seg_base, 0, S - 1)
         c = jnp.where(in_side[:, None], s.side_c[si], c_m)
         w = jnp.where(in_side[:, None], s.side_w[si], w_m)
-        u = jnp.where(in_side[:, None, None], s.side_u[si], u_m)
+        u = jnp.where(in_side[:, None, None],
+                      s.side_u[si].reshape(-1, Pp, C), u_m)
         return c, w, u
 
     def row_uw(s, rows):
@@ -691,7 +710,7 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
             sidx = jnp.clip(newnode - seg_base, 0, S - 1)
             s = s._replace(side_c=s.side_c.at[sidx].set(c_new),
                            side_w=s.side_w.at[sidx].set(w_new),
-                           side_u=s.side_u.at[sidx].set(u_new))
+                           side_u=s.side_u.at[sidx].set(u_new.reshape(-1)))
 
         if "j_self" in ablate:
             d_self = w_self = jnp.zeros((1,), dtype=cd)
@@ -775,8 +794,8 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
             w_sum = jnp.einsum("m,mp->p", fm, W_m) \
                 + jnp.einsum("s,sp->p", ms, s.side_w)
             w_out = jnp.maximum(w_sum / jnp.maximum(n, 1), 1e-20)
-            accum = jnp.einsum("m,mpc->pc", fm, U_m) \
-                + jnp.einsum("s,spc->pc", ms, s.side_u)
+            accum = (jnp.einsum("m,mx->x", fm, U_m)
+                     + jnp.einsum("s,sx->x", ms, s.side_u)).reshape(Pp, C)
         else:
             mask_leaf = act[:n_seqs]
             n_int = U_m.shape[0]
@@ -784,8 +803,8 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
             mask_int = mask_int.at[: M - n_seqs].set(
                 act[n_seqs:] & in_main[n_seqs:])
             mi = mask_int.astype(dt)
-            accum = jnp.einsum("m,mpc->pc", mi, U_m) \
-                + jnp.einsum("s,spc->pc", ms, s.side_u)
+            accum = (jnp.einsum("m,mx->x", mi, U_m)
+                     + jnp.einsum("s,sx->x", ms, s.side_u)).reshape(Pp, C)
             w_sum = jnp.einsum("m,mp->p", mi, W_m) \
                 + jnp.einsum("s,sp->p", ms, s.side_w)
             # leaf contributions accumulate from codes in CHUNK blocks --
@@ -888,16 +907,16 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
         if two_tier:
             d_leaf, w_leaf = kernels.me_dist_many_codes(
                 codes_m[:n_seqs], u_new[0], w_new[0], ev_cd, f(code_freq), cd)
-            d_int, w_int_d = kernels.me_dist_many(f(U_m), f(W_m), u_new[0],
-                                                  w_new[0], ev_cd)
+            d_int, w_int_d = kernels.me_dist_many_2d(f(U_m), f(W_m), u_new[0],
+                                                     w_new[0], ev_cd)
             d_all = jnp.concatenate([d_leaf, d_int])[:M]
             wt_all = jnp.concatenate([w_leaf, w_int_d])[:M]
         else:
-            d_all, wt_all = kernels.me_dist_many(f(U_m), f(W_m), u_new[0],
-                                                 w_new[0], ev_cd)
+            d_all, wt_all = kernels.me_dist_many_2d(f(U_m), f(W_m), u_new[0],
+                                                    w_new[0], ev_cd)
             d_all, wt_all = d_all[:M], wt_all[:M]
-        d_side, w_side = kernels.me_dist_many(f(s.side_u), f(s.side_w),
-                                              u_new[0], w_new[0], ev_cd)
+        d_side, w_side = kernels.me_dist_many_2d(f(s.side_u), f(s.side_w),
+                                                 u_new[0], w_new[0], ev_cd)
         _, side_ids = side_mask(s)
         stgt = jnp.where(side_ids < s.maxnode, side_ids, M)
         d_all = d_all.at[stgt].set(d_side, mode="drop")
@@ -1045,7 +1064,7 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     s = EpochState(
         side_c=jnp.zeros((S, P), dtype=prof.codes.dtype),
         side_w=jnp.zeros((S, P), dtype=store_dt),
-        side_u=jnp.zeros((S, P, C), dtype=store_dt),
+        side_u=jnp.zeros((S, P * C), dtype=store_dt),
         w_out=prof.w_out, f_out=prof.f_out,
         od=jnp.asarray(nj.out_distances, dtype=cd),
         noda=jnp.asarray(np.minimum(nj.n_out_dist_active, 2**31 - 1),
@@ -1092,7 +1111,11 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     total = n_active0 - 3
     if max_joins is not None:
         total = min(total, max_joins)
-    codes_m, W_m, U_m = prof.codes, prof.W, prof.U
+    codes_m, W_m = prof.codes, prof.W
+    # 2D view of the store for the epoch (one transpose copy per call; the
+    # 3D layout would otherwise force a 32x-padded copy inside the program)
+    u_shape3 = prof.U.shape
+    U_m = prof.U.reshape(u_shape3[0], -1)
     maxnode0 = tree.maxnode
     done = 0
     out = s
@@ -1125,7 +1148,8 @@ def run_epoch(nj, tophits, max_joins=None) -> None:
     n_done = int(out.nj_done)
 
     # store arrays stay device-resident (main store carries the merged rows)
-    prof.codes, prof.W, prof.U = codes_m, W_m, U_m
+    prof.codes, prof.W = codes_m, W_m
+    prof.U = U_m.reshape(u_shape3)
     prof.w_out, prof.f_out = out.w_out, out.f_out
     prof.out_version += 1
 

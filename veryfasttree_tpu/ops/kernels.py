@@ -60,6 +60,24 @@ def me_dist_many(U, W, u_q, w_q, eigenval):
     return dist, denom
 
 
+def me_dist_many_2d(U2, W, u_q, w_q, eigenval):
+    """me_dist_many against a PRE-FLATTENED store U2 [M, P*C].
+
+    Same dot shapes as me_dist_many's reshape+matmul (bit-identical per-row
+    reduction); the 2D operand exists so the device join epoch can keep the
+    whole store in a matmul-native layout -- reshaping the 3D store inside
+    the epoch would materialize a transpose copy in the C-minor tiled
+    layout, a 32x-padded allocation (14.7 GB at N=20000)."""
+    denom = W @ w_q
+    if eigenval is not None:
+        a = (u_q * eigenval[None, :]).reshape(-1)
+        top = U2 @ a
+    else:
+        top = denom - U2 @ u_q.reshape(-1)
+    dist = jnp.where(denom > 0, top / jnp.where(denom > 0, denom, 1.0), 1.0)
+    return dist, denom
+
+
 def me_dist_pair(u1, w1, u2, w2, eigenval):
     d, w = me_dist_many(u1[None], w1[None], u2, w2, eigenval)
     return d[0], w[0]
