@@ -484,22 +484,32 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
                 "UV post-batch noda_vj={d} vvalid={v}",
                 d=s.noda[clip_ids(s.vis_j[clip_ids(kept_j)])], v=vvalid)
 
-        def step(s, k):
-            j = kept_j[k]
-            ok = j >= 0
-            do = ok & (~vvalid[k] | (kept_c[k] < vcrit[k]))
+        # The update mask is precomputable from the batch evaluation (the
+        # host does the same batch-then-apply), and the kept candidates are
+        # distinct, so the visible-entry writes scatter at once; only the
+        # top-visible upkeep is order-dependent.  Iterating a while_loop
+        # over the SET bits (typically O(1) per join) instead of scanning
+        # all m slots removes the dominant O(sqrt N) serial per-join cost.
+        mK = kept_j.shape[0]
+        do = (kept_j >= 0) & (~vvalid | (kept_c < vcrit))
+        jtgt = jnp.where(do, clip_ids(kept_j), M)
+        ctr = _ctr_add(s.ctr, C_VISUP, jnp.sum(do & vvalid))
+        s = s._replace(vis_j=s.vis_j.at[jtgt].set(newnode, mode="drop"),
+                       vis_d=s.vis_d.at[jtgt].set(kept_d, mode="drop"),
+                       ctr=ctr)
+        order = jnp.sort(jnp.where(do, jnp.arange(mK), mK))
 
-            def apply(s):
-                jc = clip_ids(j)
-                ctr = _ctr_add(s.ctr, C_VISUP, vvalid[k])
-                s = s._replace(vis_j=s.vis_j.at[jc].set(newnode),
-                               vis_d=s.vis_d.at[jc].set(kept_d[k]),
-                               ctr=ctr)
-                return update_top_visible(s, j, newnode, kept_d[k], na)
+        def uv_body(carry):
+            s, t = carry
+            k = jnp.minimum(order[t], mK - 1)
+            s = update_top_visible(s, kept_j[k], newnode, kept_d[k], na)
+            return s, t + 1
 
-            return jax.lax.cond(do, apply, lambda s: s, s), None
+        def uv_cond(carry):
+            s, t = carry
+            return (t < mK) & (order[jnp.minimum(t, mK - 1)] < mK)
 
-        s, _ = jax.lax.scan(step, s, jnp.arange(kept_j.shape[0]))
+        s, _ = jax.lax.while_loop(uv_cond, uv_body, (s, jnp.int32(0)))
         return s
 
     def reset_top_visible(s, na):
