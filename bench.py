@@ -84,7 +84,12 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    full = os.environ.get("VFT_BENCH_FULL", "1") != "0"
+    # The full pass is opt-in: SPR's host-latency bottleneck makes it
+    # ~45 min at N=2000 on the axon tunnel (measured round 4; the value is
+    # recorded in BENCH_SIDE_r04.json and the fix designed in
+    # docs/SPR_EPOCH_DESIGN.md), which would risk the driver's bench
+    # timeout.  VFT_BENCH_FULL=1 enables it.
+    full = os.environ.get("VFT_BENCH_FULL", "0") == "1"
 
     import jax
     import jax.numpy as jnp
