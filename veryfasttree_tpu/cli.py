@@ -10,6 +10,7 @@ build maps parallelism onto the device mesh instead.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import constants
@@ -92,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-constraints", default="", metavar="file")
     a("-constraintWeight", type=float, default=100.0, metavar="w")
     # optimization / compatibility knobs
-    a("-threads", type=int, default=1, metavar="n")
+    a("-threads", type=int, default=None, metavar="n")
     a("-threads-verbose", action="store_true")
     a("-threads-mode", type=int, default=1, metavar="mode")
     a("-threads-level", type=int, default=3, metavar="lvl")
@@ -271,7 +272,10 @@ def args_to_options(ns) -> Options:
         opts.bionj = False
     opts.constraints_file = ns.constraints
     opts.constraint_weight = ns.constraintWeight
-    opts.threads = getattr(ns, "threads")
+    _threads = getattr(ns, "threads")
+    opts.threads_explicit = _threads is not None
+    opts.threads = _threads if _threads is not None else \
+        int(os.environ.get("OMP_NUM_THREADS", "1") or 1)
     opts.threads_verbose = getattr(ns, "threads_verbose")
     opts.deterministic = getattr(ns, "threads_mode") == 1
     opts.threads_level = getattr(ns, "threads_level")
@@ -342,16 +346,21 @@ def main(argv=None) -> int:
             in_fp = open_maybe_compressed(opts.in_file_name)
         else:
             in_fp = sys.stdin
-        out_fp = open(opts.out_file_name, "w") if opts.out_file_name else sys.stdout
-        if opts.coordinator and (opts.host_id or 0) != 0:
-            # multi-host: every process computes (lockstep collectives), but
-            # only host 0 writes the tree
+        # multi-host: every process computes (lockstep collectives), but only
+        # host 0 writes the tree.  Decide primary/non-primary BEFORE opening so
+        # a non-primary process never truncates host 0's file on a shared fs.
+        is_primary = not (opts.coordinator and (opts.host_id or 0) != 0)
+        if not is_primary:
             import io as _io
             out_fp = _io.StringIO()
+        elif opts.out_file_name:
+            out_fp = open(opts.out_file_name, "w")
+        else:
+            out_fp = sys.stdout
         try:
             run_pipeline(opts, in_fp, out_fp, log_fp=log)
         finally:
-            if opts.out_file_name:
+            if is_primary and opts.out_file_name:
                 out_fp.close()
             if opts.in_file_name:
                 in_fp.close()

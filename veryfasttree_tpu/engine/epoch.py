@@ -485,23 +485,25 @@ def _epoch_run(s: EpochState, codes_m, W_m, U_m, seg_base, seg_end,
                 d=s.noda[clip_ids(s.vis_j[clip_ids(kept_j)])], v=vvalid)
 
         # The update mask is precomputable from the batch evaluation (the
-        # host does the same batch-then-apply), and the kept candidates are
-        # distinct, so the visible-entry writes scatter at once; only the
-        # top-visible upkeep is order-dependent.  Iterating a while_loop
-        # over the SET bits (typically O(1) per join) instead of scanning
-        # all m slots removes the dominant O(sqrt N) serial per-join cost.
+        # host does the same batch-then-apply of the criteria), but each
+        # visible-entry WRITE must interleave with its update_top_visible
+        # (host tophits.py update_visible): a later candidate sitting in
+        # topvisible must still show its OLD visible entry when an earlier
+        # candidate's top-visible upkeep batch-evaluates s.tv.  Iterating a
+        # while_loop over the SET bits (typically O(1) per join) instead of
+        # scanning all m slots keeps the O(set-bits) serial cost.
         mK = kept_j.shape[0]
         do = (kept_j >= 0) & (~vvalid | (kept_c < vcrit))
-        jtgt = jnp.where(do, clip_ids(kept_j), M)
         ctr = _ctr_add(s.ctr, C_VISUP, jnp.sum(do & vvalid))
-        s = s._replace(vis_j=s.vis_j.at[jtgt].set(newnode, mode="drop"),
-                       vis_d=s.vis_d.at[jtgt].set(kept_d, mode="drop"),
-                       ctr=ctr)
+        s = s._replace(ctr=ctr)
         order = jnp.sort(jnp.where(do, jnp.arange(mK), mK))
 
         def uv_body(carry):
             s, t = carry
             k = jnp.minimum(order[t], mK - 1)
+            jt = clip_ids(kept_j[k])
+            s = s._replace(vis_j=s.vis_j.at[jt].set(newnode),
+                           vis_d=s.vis_d.at[jt].set(kept_d[k]))
             s = update_top_visible(s, kept_j[k], newnode, kept_d[k], na)
             return s, t + 1
 

@@ -332,7 +332,11 @@ def tree_loglk(nj, want_site_loglk=False):
             site += np.log(np.maximum(lks, 1e-300)).sum(axis=0)
         else:
             lls, lks = ml.pair_loglk_rows(r1s, r2s, lens, fetch=False)
-            s = lls.sum()
+            # accumulate the level sums in the accum dtype (f64 on CPU-x64;
+            # store dtype elsewhere), matching the host path's f64 sums
+            from .profiles import _accum_dtype
+            adt = _accum_dtype()
+            s = lls.sum(dtype=adt) if adt is not None else lls.sum()
             acc = s if acc is None else acc + s
             if want_site_loglk:
                 ssum = jnp.log(jnp.maximum(lks, 1e-300)).sum(axis=0)
@@ -356,9 +360,11 @@ def tree_loglk(nj, want_site_loglk=False):
                 sroot = jnp.log(jnp.maximum(lk, 1e-300))
                 site_acc = sroot if site_acc is None else site_acc + sroot
     if acc is not None:
-        loglk += float(acc)          # the ONE blocking fetch
+        from .profiles import fetch_np
+        loglk += float(fetch_np(acc))   # the ONE blocking fetch
     if site_acc is not None:
-        site = np.asarray(site_acc, dtype=np.float64)[: nj.n_pos]
+        from .profiles import fetch_np
+        site = fetch_np(site_acc, np.float64)[: nj.n_pos]
     # Jukes-Cantor gap/log-4 correction (ref :5236-5257)
     if nj.options.n_codes == 4 and ml.jc:
         log4 = math.log(4.0)

@@ -78,6 +78,7 @@ class Options:
     # Parallel / numeric configuration (reference kept thread knobs here;
     # we keep them for CLI compat and add the TPU mesh equivalents).
     threads: int = 1
+    threads_explicit: bool = False     # user passed -threads on the CLI
     threads_verbose: bool = False
     deterministic: bool = True
     threads_level: int = 3

@@ -39,9 +39,17 @@ def maybe_init_distributed(options) -> bool:
                   if getattr(options, "host_id", None) is not None
                   else os.environ.get("VFT_HOST_ID", "0"))
     import jax
+    # idempotent: with -n > 1 alignments _run_single calls this once per
+    # alignment; a second initialize() raises RuntimeError
+    if getattr(jax.distributed, "is_initialized", None) and \
+            jax.distributed.is_initialized():
+        return True
+    if getattr(maybe_init_distributed, "_done", False):
+        return True
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=n_hosts or None,
                                process_id=host_id)
+    maybe_init_distributed._done = True
     return True
 
 

@@ -185,7 +185,14 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
     import os as _os
     if (jax.default_backend() != "cpu" and options.threads == 1
             and _os.environ.get("VFT_FORCE_SERIAL") != "1"):
-        options.threads = 8
+        if getattr(options, "threads_explicit", False):
+            # honor an explicit -threads 1 (serial-deterministic tier), but
+            # warn: every serial per-node step pays a blocking device sync
+            print("Warning: -threads 1 on an accelerator backend uses the "
+                  "serial host loop (slow); omit -threads for the batched "
+                  "device path", file=log_fp or sys.stderr)
+        else:
+            options.threads = 8
     _enable_compilation_cache()
     if options.mesh is None:
         from .parallel.mesh import mesh_from_options
