@@ -289,6 +289,7 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         int(0.5 + 2.0 * math.log2(max(n_uniq, 2)))
 
     # --- ME NNI rounds interleaved with SPR (ref VeryFastTreeImpl.tcc:161-204)
+    from .engine import spr_epoch
     if options.threads > 1:
         # level-batched NNI rounds (the reference's thread-level-2 analog)
         from .engine import batched
@@ -299,6 +300,11 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
         from .engine import spr as _spr_mod
         do_nni_fn = rearrange.do_nni
         run_spr_fn = _spr_mod.run_spr
+    if spr_epoch.spr_epoch_supported(nj) and spr_epoch._use_spr_epoch():
+        # device-resident SPR rounds (engine/spr_epoch.py): serial node
+        # order (tier-1), zero blocking fetches inside a round.  Default on
+        # accelerators; opt-in on CPU via VFT_SPR_EPOCH=1.
+        run_spr_fn = spr_epoch.run_spr_epoch
     if resume is not None:
         nni_to_do = 0
         spr_remaining = 0
