@@ -193,6 +193,13 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
                   "device path", file=log_fp or sys.stderr)
         else:
             options.threads = 8
+            if options.use_tophits_2nd:
+                # mirror derive_settings' multi-worker rule (ref
+                # VeryFastTree.cpp: 2nd-level lists are single-thread-only),
+                # which also keeps the run inside the device join epoch
+                options.use_tophits_2nd = False
+                print("Warning: 2nd-level top hits ignored in multi-worker "
+                      "mode", file=log_fp or sys.stderr)
     _enable_compilation_cache()
     if options.mesh is None:
         from .parallel.mesh import mesh_from_options
