@@ -1,27 +1,22 @@
 #!/usr/bin/env python3
 """End-to-end benchmark vs the reference binary on the same FASTA.
 
-Two measurements, both honest about setup:
+HEADLINE (`value` / `vs_baseline`): the full `-noml -nosupport` pipeline
+wall -- NJ + ME NNI rounds + device-resident SPR rounds + branch lengths
+-- exactly what the reference binary is timed doing on the same input.
+Median of `VFT_BENCH_SAMPLES` (default 3) warm passes, so one degraded
+axon-tunnel window cannot distort the recorded number (round-4 weak #7).
 
-* **NJ wall-to-tree** (the headline `value`/`vs_baseline`, the round-3
-  VERDICT's metric with setup included): store init + top-hits seeding +
-  the device join epoch, cold (fresh jit compiles) and warm (persistent
-  compilation cache); `vs_baseline` = reference full `-noml` wall / our
-  warm NJ wall.
-* **Full `-noml` wall** (`full_noml_wall_s`, `vs_baseline_full_noml`):
-  our complete pipeline (NJ + ME NNI rounds + SPR + branch lengths) --
-  exactly what the reference binary is timed doing.  The SPR phase is
-  currently host-latency-bound on the axon tunnel (~46k blocking fetches
-  at N=2000 -- see docs/SPR_EPOCH_DESIGN.md for the round-5 fix), which
-  this field exposes rather than hides.
-
-The one-time axon d2h channel open (30-1000 s, a tunnel artifact a local
-TPU does not pay) is warmed BEFORE timing and reported separately.
+Side fields keep the NJ-phase decomposition (store / top-hits / join
+epoch) and the cold (fresh-jit) walls.  The one-time axon d2h channel
+open (0.6-1000 s, a tunnel artifact a local TPU does not pay) is warmed
+BEFORE timing and reported separately.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -84,12 +79,7 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     p = int(sys.argv[2]) if len(sys.argv) > 2 else 500
-    # The full pass is opt-in: SPR's host-latency bottleneck makes it
-    # ~45 min at N=2000 on the axon tunnel (measured round 4; the value is
-    # recorded in BENCH_SIDE_r04.json and the fix designed in
-    # docs/SPR_EPOCH_DESIGN.md), which would risk the driver's bench
-    # timeout.  VFT_BENCH_FULL=1 enables it.
-    full = os.environ.get("VFT_BENCH_FULL", "0") == "1"
+    samples = int(os.environ.get("VFT_BENCH_SAMPLES", "3"))
 
     import jax
     import jax.numpy as jnp
@@ -108,38 +98,43 @@ def main():
     np.asarray(jnp.zeros(8) + 1)
     t_d2h = time.perf_counter() - t0
 
-    cold = run_nj_phase(codes)
-    warm = run_nj_phase(codes)
-    nj_cold = sum(cold)
-    nj_warm = sum(warm)
+    # full pipeline: one cold pass (compiles), then median of warm passes
+    t_full_cold = run_full_noml(codes)
+    t_full_samples = [run_full_noml(codes) for _ in range(samples)]
+    t_full = statistics.median(t_full_samples)
 
-    t_full = run_full_noml(codes) if full else None
+    # NJ-phase decomposition (side numbers): one warm pass
+    warm = run_nj_phase(codes)
+    nj_warm = sum(warm)
 
     # reference binary on the same input (the upstream CPU implementation)
     t_ref = None
     if os.path.exists(ORACLE):
         fasta = f"/tmp/bench_nj_{n}_{p}.fasta"
         write_fasta(fasta, codes)
-        t0 = time.perf_counter()
-        res = subprocess.run(
-            [ORACLE, "-nt", "-noml", "-nosupport", "-nopr", fasta],
-            capture_output=True, text=True, timeout=36000)
-        if res.returncode == 0:
-            t_ref = time.perf_counter() - t0
+        ref_samples = []
+        for _ in range(min(samples, 3)):
+            t0 = time.perf_counter()
+            res = subprocess.run(
+                [ORACLE, "-nt", "-noml", "-nosupport", "-nopr", fasta],
+                capture_output=True, text=True, timeout=36000)
+            if res.returncode == 0:
+                ref_samples.append(time.perf_counter() - t0)
+        t_ref = statistics.median(ref_samples) if ref_samples else None
 
     out = {
-        "metric": f"NJ wall-to-tree incl setup (N={n}, P={p}, nt, {backend})",
-        "value": round(nj_warm, 2),
+        "metric": f"full -noml wall (N={n}, P={p}, nt, {backend})",
+        "value": round(t_full, 2),
         "unit": "s",
-        "vs_baseline": round(t_ref / nj_warm, 3) if t_ref else None,
+        "vs_baseline": round(t_ref / t_full, 3) if t_ref else None,
+        "full_noml_samples_s": [round(t, 2) for t in t_full_samples],
+        "full_noml_cold_s": round(t_full_cold, 2),
+        "nj_wall_warm_s": round(nj_warm, 2),
+        "vs_baseline_nj_phase": round(t_ref / nj_warm, 3) if t_ref else None,
         "joins_per_s_warm": round(joins / warm[2], 2),
         "nj_store_s": round(warm[0], 2),
         "nj_tophits_s": round(warm[1], 2),
         "nj_epoch_s": round(warm[2], 2),
-        "nj_wall_cold_s": round(nj_cold, 2),
-        "full_noml_wall_s": round(t_full, 2) if t_full else None,
-        "vs_baseline_full_noml": (round(t_ref / t_full, 3)
-                                  if t_ref and t_full else None),
         "d2h_channel_open_s": round(t_d2h, 2),
         "reference_wall_s": round(t_ref, 2) if t_ref else None,
     }
