@@ -156,13 +156,36 @@ class TopHits:
                 break
             dist_w, weight_w = nj.prof.dist_many_vs_leaves(np.array(wave))
             n_disc = 0
+            transfers = []   # (node, cand) close-neighbor list fills
             for k, seed in enumerate(wave):
                 if visited[seed]:
                     n_disc += 1
                     continue
                 visited[seed] = True
                 self._process_seed(nj, seed, dist_w[k], weight_w[k], n_seqs,
-                                   m, q, close, n_gaps, visited)
+                                   m, q, close, n_gaps, visited,
+                                   transfers=transfers)
+            # Close-neighbor transfers batch across the WHOLE wave: the
+            # accept decisions depend only on each seed's own scan plus the
+            # `visited` claims (updated serially above), never on transfer
+            # RESULTS, so evaluating all accepted nodes' candidate sets in
+            # one gathered dispatch is exactly the serial outcome.  This
+            # cuts init fetches from one per seed to one per wave
+            # (74 s -> the wave-scan floor at N=20000, VERDICT r4 next #6).
+            if transfers:
+                iis = np.concatenate([
+                    np.full(len(cand), node, dtype=np.int64)
+                    for node, cand in transfers])
+                jjs = np.concatenate([cand for _, cand in transfers])
+                d_all, _, c_all = nj.set_dist_criterion_batch(n_seqs, iis, jjs)
+                off = 0
+                for node, cand in transfers:
+                    d = d_all[off: off + len(cand)]
+                    c = c_all[off: off + len(cand)]
+                    off += len(cand)
+                    o = np.argsort(c, kind="stable")
+                    self._sort_save(nj, node, cand[o], d[o], None, m,
+                                    presorted=True)
             if 4 * n_disc > len(wave):
                 wave_k = max(4, wave_k // 2)
             elif wave_k < 64:
@@ -176,11 +199,14 @@ class TopHits:
         self._check_reverse_inclusion(nj, n_seqs)
 
     def _process_seed(self, nj, seed: int, dist_row, weight_row, n_seqs: int,
-                      m: int, q: int, close: float, n_gaps, visited) -> None:
+                      m: int, q: int, close: float, n_gaps, visited,
+                      transfers=None) -> None:
         """Per-seed body of setAllLeafTopHits (ref :3860-4014): save the
         seed's list, then close-neighbor inheritance.  Without 2nd-level
-        lists the accepted neighbors' transfers share ONE batched dispatch
-        (their accept decisions depend only on the seed's scan)."""
+        lists the accepted neighbors' transfers are APPENDED to `transfers`
+        (when given) for one wave-level gathered dispatch -- their accept
+        decisions depend only on the seed's scan and `visited`, never on
+        transfer results; with transfers=None they dispatch per seed."""
         opts = self.options
         dist, weight, crit = nj.best_hit_arrays(seed, dist_row, weight_row,
                                                 n_seqs)
@@ -235,9 +261,13 @@ class TopHits:
                     plain_accept.append(close_node)
 
         if plain_accept:
-            # all accepted neighbors evaluate the same candidate set sj[:2m];
-            # one gathered dispatch, then per-node sort/save (order-free)
+            # all accepted neighbors evaluate the same candidate set sj[:2m]
             cand = np.asarray(sj[: 2 * m], dtype=np.int64)
+            if transfers is not None:
+                # defer to the wave-level gathered dispatch (caller)
+                for node in plain_accept:
+                    transfers.append((node, cand))
+                return
             iis = np.repeat(np.asarray(plain_accept, dtype=np.int64), len(cand))
             jjs = np.tile(cand, len(plain_accept))
             d_all, w_all, c_all = nj.set_dist_criterion_batch(n_seqs, iis, jjs)
