@@ -58,8 +58,8 @@ def compute_up_profiles_levelwise(nj, use_ml: bool) -> np.ndarray:
             # ML up-profile: posterior of (C, D) (ref getUpProfile tcc:3404-3419)
             nj.ml.posterior_rows(targets, r1s, r2s, l1s, l2s)
         else:
-            c, w, u = nj.prof.average_rows_batch(r1s, r2s, [0.5] * len(nodes))
-            nj.prof.scatter_rows(targets, c, w, u)
+            nj.prof.average_scatter_rows(targets, r1s, r2s,
+                                         [0.5] * len(nodes))
 
 
 def _gather_quartets(nj, nodes, use_ml: bool):

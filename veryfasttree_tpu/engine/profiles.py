@@ -326,17 +326,33 @@ def _outprofile_update(w_out, f_out, codes, W, U, i, j, newnode, n_active_old,
         n_active_old, code_freq, eigentot if use_matrix else None, tol)
 
 
-@functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"))
-def _avg_rows(codes, W, U, iis, jjs, bws, n_seqs, code_freq, eigenval,
-              eigentot, use_matrix, two_tier, tol):
-    """Batched averageProfile over row pairs -> (codes, w, u) stacks."""
+@functools.partial(jax.jit,
+                   static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
+                   donate_argnums=(0, 1, 2))
+def _avg_scatter_rows(codes, W, U, targets, iis, jjs, bws, n_seqs, code_freq,
+                      eigentot, use_matrix, two_tier, tol):
+    """Fused gather -> averageProfile -> scatter on the donated store.
+
+    One jitted dispatch per pow2 bucket shape.  The unfused
+    average_rows_batch + scatter_rows pair sliced results to the EXACT
+    level size, so every tree level of every NNI round presented a fresh
+    shape -- each eager scatter then paid a persistent-compilation-cache
+    disk read (~17 ms) instead of an in-memory hit, 6+ s per round at
+    N=2000 on the live backend.  Padded targets (< 0) scatter-drop."""
     c1, w1, u1 = _rows_cwu(codes, W, U, iis, code_freq, n_seqs, two_tier)
     c2, w2, u2 = _rows_cwu(codes, W, U, jjs, code_freq, n_seqs, two_tier)
     f = jax.vmap(lambda ci, wi, ui, cj, wj, uj, bw: kernels.average_profile(
         ci, wi, ui, cj, wj, uj, bw, code_freq,
         eigentot if use_matrix else None, tol))
     c, w, u, _ = f(c1, w1, u1, c2, w2, u2, bws)
-    return c, w, u
+    valid = targets >= 0
+    ctgt = jnp.where(valid, targets, codes.shape[0])
+    codes = codes.at[ctgt].set(c, mode="drop")
+    phys = targets - n_seqs if two_tier else targets
+    ptgt = jnp.where(valid, phys, W.shape[0])
+    W = W.at[ptgt].set(w, mode="drop")
+    U = U.at[ptgt].set(u, mode="drop")
+    return codes, W, U
 
 
 def hbm_plan(n_seqs: int, n_pos: int, n_codes: int = 4,
@@ -620,23 +636,19 @@ class MEProfiles:
             self.dtype(bw), self.n_seqs, self.code_freq, self.eigenval,
             self.eigentot, self.use_matrix, self.two_tier, self.tol)
 
-    def average_rows_batch(self, iis, jjs, bws):
-        """Batched averageProfile for a level of independent nodes."""
-        ipad, n = _pad_pow2(np.asarray(iis, dtype=np.int64))
+    def average_scatter_rows(self, targets, iis, jjs, bws) -> None:
+        """Fused batched averageProfile + scatter into the store (one
+        dispatch per pow2 bucket; see _avg_scatter_rows)."""
+        targets = np.asarray(targets, dtype=np.int64)
+        assert (targets >= self.n_seqs).all()
+        tpad, n = _pad_pow2(targets, fill=-1)
+        ipad, _ = _pad_pow2(np.asarray(iis, dtype=np.int64))
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
-        bpad = np.full(len(ipad), 0.5, dtype=self.dtype)
+        bpad = np.full(len(tpad), 0.5, dtype=self.dtype)
         bpad[:n] = np.asarray(bws, dtype=self.dtype)
-        c, w, u = _avg_rows(self.codes, self.W, self.U, jnp.asarray(ipad),
-                            jnp.asarray(jpad), jnp.asarray(bpad), self.n_seqs,
-                            self.code_freq, self.eigenval, self.eigentot,
-                            self.use_matrix, self.two_tier, self.tol)
-        return c[:n], w[:n], u[:n]
+        self.codes, self.W, self.U = _avg_scatter_rows(
+            self.codes, self.W, self.U, jnp.asarray(tpad), jnp.asarray(ipad),
+            jnp.asarray(jpad), jnp.asarray(bpad), self.n_seqs,
+            self.code_freq, self.eigentot, self.use_matrix, self.two_tier,
+            self.tol)
 
-    def scatter_rows(self, nodes, c, w, u) -> None:
-        nodes = np.asarray(nodes, dtype=np.int64)
-        assert (nodes >= self.n_seqs).all()
-        rows = jnp.asarray(nodes)
-        phys = jnp.asarray(nodes - self.n_seqs if self.two_tier else nodes)
-        self.codes = self.codes.at[rows].set(c)
-        self.W = self.W.at[phys].set(w)
-        self.U = self.U.at[phys].set(u)

@@ -410,8 +410,7 @@ def recompute_profiles_levelwise(nj, dmat=None) -> None:
             continue
         iis = [int(tree.children[n, 0]) for n in nodes]
         jjs = [int(tree.children[n, 1]) for n in nodes]
-        c, w, u = nj.prof.average_rows_batch(iis, jjs, [0.5] * len(nodes))
-        nj.prof.scatter_rows(nodes, c, w, u)
+        nj.prof.average_scatter_rows(nodes, iis, jjs, [0.5] * len(nodes))
         nj.debug.profile_avg_ops += len(nodes)
         if nj.n_cons:
             for n, i, j in zip(nodes, iis, jjs):
