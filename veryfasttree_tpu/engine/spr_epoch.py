@@ -93,14 +93,20 @@ def _merge_ov(codes_m, W_m, U_m, ov_ids, ov_c, ov_w, ov_u, ov_n,
     jax.jit,
     static_argnames=("n_seqs", "maxnodes", "use_matrix", "two_tier", "tol",
                      "bionj", "logdist", "jc", "pseudo", "max_spr_len",
-                     "n_cons", "con_weight", "up"),
+                     "n_cons", "con_weight", "up", "do_merge"),
     donate_argnums=(0, 1, 2, 3))
 def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
               code_freq, eigenval, eigentot,
               n_seqs, maxnodes, use_matrix, two_tier, tol, bionj, logdist,
-              jc, pseudo, max_spr_len, n_cons, con_weight, up=None):
-    """Fold the previous node's overrides into the store, then run one
-    node's full SPR processing (ref traverseSPR tcc:6185-6313 body)."""
+              jc, pseudo, max_spr_len, n_cons, con_weight, up=None,
+              do_merge=True):
+    """Optionally fold accumulated overrides into the store, then run one
+    node's full SPR processing (ref traverseSPR tcc:6185-6313 body).
+
+    do_merge=False skips the entry scatter: reads layer through the
+    row-id-keyed override buffer, so merging only every K nodes is
+    value-identical as long as the buffer does not overflow (the host
+    wrapper sizes K from V and the tree depth; ov_flow is the backstop)."""
     M = maxnodes
     V = s.ov_ids.shape[0]
     n_rows = codes_m.shape[0]
@@ -112,11 +118,13 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
     ev_cd = ev.astype(cd) if ev is not None else None
     et = eigentot if use_matrix else None
 
-    # ---- entry merge: previous node's writes -> donated main store --------
-    codes_m, W_m, U_m = _merge_ov(codes_m, W_m, U_m, s.ov_ids, s.ov_c,
-                                  s.ov_w, s.ov_u, s.ov_n, n_seqs, two_tier)
-    s = s._replace(ov_ids=jnp.full((V,), -1, jnp.int32),
-                   ov_n=jnp.int32(0))
+    # ---- entry merge: accumulated writes -> donated main store ------------
+    if do_merge:
+        codes_m, W_m, U_m = _merge_ov(codes_m, W_m, U_m, s.ov_ids, s.ov_c,
+                                      s.ov_w, s.ov_u, s.ov_n, n_seqs,
+                                      two_tier)
+        s = s._replace(ov_ids=jnp.full((V,), -1, jnp.int32),
+                       ov_n=jnp.int32(0))
 
     def f(x):
         return x.astype(cd)
@@ -537,9 +545,17 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
 
     node_list = [n for n in tree.postorder_nodes() if n != tree.root]
     depth = len(tree.level_lists())
-    v_need = 4 * depth + 16 * opts.max_spr_length + 128
-    V = 1 << int(np.ceil(np.log2(max(256, v_need))))
+    # per-node distinct-row bound: ~2*depth up+node rows + chain/unwind
+    # repairs.  V is sized for one node's writes; merging every node keeps
+    # the override buffer (and the while-carry it rides in) small, which
+    # measures faster than a large buffer merged rarely.  Env overrides for
+    # experiments: VFT_SPR_V, VFT_SPR_KMERGE.
+    import os as _os
+    per_node = 2 * depth + 16 * opts.max_spr_length + 64
+    V = int(_os.environ.get("VFT_SPR_V", 0)) or \
+        (1 << int(np.ceil(np.log2(max(512, per_node)))))
     V = min(V, 2 * M)
+    k_merge = int(_os.environ.get("VFT_SPR_KMERGE", "1"))
     P = prof.W.shape[1]
     C = prof.U.shape[2]
 
@@ -572,7 +588,7 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
             nj.progress.print("SPR round %3d of %3d, %d of %d nodes",
                               i_round + 1, n_rounds, idx + 1, len(node_list))
         s, codes_m, W_m, U_m = _spr_node(
-            s, codes_m, W_m, U_m, jnp.int32(node), root_dev,
+            s, codes_m, W_m, U_m, np.int32(node), root_dev,
             prof.code_freq, prof.eigenval, prof.eigentot,
             n_seqs=prof.n_seqs, maxnodes=M, use_matrix=prof.use_matrix,
             two_tier=prof.two_tier, tol=prof.tol, bionj=bool(opts.bionj),
@@ -580,7 +596,7 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
             pseudo=float(opts.pseudo_weight),
             max_spr_len=int(opts.max_spr_length),
             n_cons=int(nj.n_cons), con_weight=float(opts.constraint_weight),
-            up=up)
+            up=up, do_merge=(idx % k_merge == 0))
 
     codes_m, W_m, U_m = _spr_flush(
         codes_m, W_m, U_m, s.ov_ids, s.ov_c, s.ov_w, s.ov_u, s.ov_n,
