@@ -59,6 +59,23 @@ def test_ml_protein_jtt_parity(tmp_path):
         assert abs(a - b) < 0.05
 
 
+def test_ml_protein_jtt_cat_midscale(tmp_path):
+    """configs[1]-style protein JTT+CAT parity at N=300 with the FULL
+    default pipeline (top-hits NJ + ME NNI/SPR + ML NNI + CAT): topology
+    must match the oracle (RF == 0) and the final optimized LogLk agree
+    to ~1e-4 relative (tier-2 quality, docs/PARITY.md)."""
+    seqs = simulate_alignment(300, 300, alphabet="ARNDCQEGHILKMFPSTWYV",
+                              seed=42)
+    fasta = str(tmp_path / "t.fasta")
+    write_fasta(fasta, seqs)
+    nw_ref, err = run_oracle(["-nosupport"], fasta)
+    nw_ours, log, _ = _run_ours(fasta, n_codes=20, n_bootstrap=0)
+    assert rf_distance(nw_ref, nw_ours)[0] == 0
+    ref_ll = [x for x in _loglk_lines(err)][-1]
+    our_ll = [x for x in _loglk_lines(log)][-1]
+    assert abs(ref_ll - our_ll) / abs(ref_ll) < 1e-4
+
+
 def test_ml_gtr_parity(tmp_path):
     seqs = simulate_alignment(15, 150, seed=22)
     fasta = str(tmp_path / "t.fasta")
