@@ -54,3 +54,43 @@ def test_batched_ml_quality(tmp_path):
     our_ll = float(m[-1].group(1))
     # final LogLk within 1 part in 1e4 of the reference
     assert abs(our_ll - ref_ll) < 1e-4 * abs(ref_ll)
+
+
+def test_batched_supports_match_serial(tmp_path):
+    """Level-batched testSplitsMinEvo and reliabilityNJ reproduce the serial
+    results (identical counts; bit-identical boot supports, bionj off)."""
+    import numpy as np
+
+    from veryfasttree_tpu.engine import rearrange, supports
+    from veryfasttree_tpu.engine.nj import NeighbourJoining
+    from veryfasttree_tpu.io.alignment import Uniquify, read_alignment, \
+        seqs_to_codes
+    from veryfasttree_tpu.options import Options
+
+    seqs = simulate_alignment(60, 250, seed=6)
+    fasta = str(tmp_path / "t.fasta")
+    write_fasta(fasta, seqs)
+    opts = Options(n_codes=4, show_progress=False, n_bootstrap=50)
+    opts.derive_settings()
+    with open(fasta) as f:
+        aln = read_alignment(f, opts)
+    uniq = Uniquify.build(aln)
+    codes = seqs_to_codes(uniq.unique_seq, opts)
+
+    def build():
+        nj = NeighbourJoining(opts, codes, None, None)
+        nj.fast_nj()
+        rearrange.update_branch_lengths(nj)
+        return nj
+
+    nj1 = build()
+    sc1 = supports.test_splits_min_evo(nj1)
+    supports.reliability_nj(nj1)
+    nj2 = build()
+    sc2 = supports.test_splits_min_evo_batched(nj2)
+    supports.reliability_nj_batched(nj2)
+    assert (sc1.n_splits, sc1.n_bad_splits) == (sc2.n_splits, sc2.n_bad_splits)
+    assert abs(sc1.d_worst_delta_unconstrained
+               - sc2.d_worst_delta_unconstrained) < 1e-12
+    m = nj1.tree.maxnode
+    np.testing.assert_array_equal(nj1.tree.support[:m], nj2.tree.support[:m])

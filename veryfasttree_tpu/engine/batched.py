@@ -232,9 +232,19 @@ def optimize_all_branch_lengths_batched(nj) -> None:
     # branch lengths ride the device through the whole sweep: every Brent
     # result scatters into `bl` and feeds the next posterior enqueue-only;
     # the single blocking fetch happens after the last level (the per-level
-    # fetches here were ~6 x levels x 25 ms on the axon tunnel)
+    # fetches here were ~6 x levels x 25 ms on the axon tunnel).  All eager
+    # device ops (bl gathers/scatters) use pow2-BUCKETED index arrays:
+    # exact level sizes change every round, and unbucketed eager ops each
+    # pay a persistent-compilation-cache disk read instead of an in-memory
+    # hit (the 6 s/round ME-NNI finding).  Padding lanes read bl's extra
+    # slot / write their own scratch rows and scatter-drop.
     import jax.numpy as jnp
-    bl = jnp.asarray(tree.branchlength[: tree.maxnodes], dtype=ml.dtype)
+
+    from .profiles import _pad_pow2
+    from .ml_profiles import S_TMP2
+    bl = jnp.asarray(
+        np.concatenate([tree.branchlength[: tree.maxnodes], [0.1]]),
+        dtype=ml.dtype)
     for level in tree.level_lists():
         nodes = [int(n) for n in level if tree.n_child[n] >= 2]
         if not nodes:
@@ -249,9 +259,14 @@ def optimize_all_branch_lengths_batched(nj) -> None:
                    nds[2] if n_child == 3 else ml.up_row(node)]
             nodes3.append(nds)
             rows3.append(rws)
-        nodes3 = np.array(nodes3)
-        rows3 = np.array(rows3)
-        scratch = ml.scratch_rows_for(len(nodes))
+        n = len(nodes)
+        npad = max(1, 1 << (n - 1).bit_length())
+        pad3 = np.zeros((npad - n, 3), dtype=np.int64)
+        nodes3 = np.concatenate([np.array(nodes3, dtype=np.int64),
+                                 pad3 + tree.maxnodes])  # read bl's extra slot
+        rows3 = np.concatenate([np.array(rows3, dtype=np.int64), pad3])
+        tgt3 = nodes3  # pad lanes point at maxnodes = the droppable slot
+        scratch = ml.scratch_rows_for(npad)
         for _ in range(2):
             for i in range(3):
                 b1, b2 = (i + 1) % 3, (i + 2) % 3
@@ -261,14 +276,19 @@ def optimize_all_branch_lengths_batched(nj) -> None:
                                       ml.dtype(nj.options.ml_min_branch_length))
                 xs, _ = ml.opt_branch_length_rows(rows3[:, i], scratch,
                                                   guesses, fetch=False)
-                bl = bl.at[nodes3[:, i]].set(xs.astype(ml.dtype))
+                bl = bl.at[tgt3[:, i]].set(xs.astype(ml.dtype))
         # refresh this level's profiles for the next level up
-        upd = [n for n in nodes if n != tree.root]
+        upd = [nd for nd in nodes if nd != tree.root]
         if upd:
-            iis = np.array([int(tree.children[n, 0]) for n in upd])
-            jjs = np.array([int(tree.children[n, 1]) for n in upd])
-            nj.ml.posterior_rows(np.array(upd), iis, jjs, bl[iis], bl[jjs])
-    tree.branchlength[: tree.maxnodes] = np.asarray(bl, dtype=np.float64)
+            upad, _ = _pad_pow2(np.asarray(upd, dtype=np.int64),
+                                fill=ml.scratch_row(S_TMP2))
+            ipad, _ = _pad_pow2(np.array(
+                [int(tree.children[nd, 0]) for nd in upd], dtype=np.int64))
+            jpad, _ = _pad_pow2(np.array(
+                [int(tree.children[nd, 1]) for nd in upd], dtype=np.int64))
+            nj.ml.posterior_rows(upad, ipad, jpad, bl[ipad], bl[jpad])
+    tree.branchlength[: tree.maxnodes] = \
+        np.asarray(bl, dtype=np.float64)[:-1]
 
 
 def update_branch_lengths_batched(nj) -> None:

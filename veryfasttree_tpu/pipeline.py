@@ -360,9 +360,15 @@ def _run_single(options, input_fp, output_fp, log_fp=None):
                                           log, log_tree, resume=resume)
     else:
         from .engine import supports
-        split_count = supports.test_splits_min_evo(nj)
+        if options.threads > 1:
+            split_count = supports.test_splits_min_evo_batched(nj)
+        else:
+            split_count = supports.test_splits_min_evo(nj)
         if options.n_bootstrap > 0 and n_uniq > 3:
-            supports.reliability_nj(nj)
+            if options.threads > 1:
+                supports.reliability_nj_batched(nj)
+            else:
+                supports.reliability_nj(nj)
 
     show_support = options.n_bootstrap > 0
     newick = print_newick(nj.tree, names, unique, show_support,
