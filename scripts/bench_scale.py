@@ -55,9 +55,10 @@ def run_one(n, p=500):
         mem = {"peak_hbm_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)}
     except Exception:
         pass
-    # total ME tree length as the self-check quality metric (finite, sane)
-    from veryfasttree_tpu.engine import rearrange
-    rearrange.update_branch_lengths(nj)
+    # total ME tree length as the self-check quality metric (finite, sane);
+    # batched lengths (the serial walk fetches once per node)
+    from veryfasttree_tpu.engine import batched
+    batched.update_branch_lengths_batched(nj)
     tl = float(np.sum(np.abs(nj.tree.branchlength[: nj.tree.maxnode])))
     out = {
         "N": n, "P": p,
@@ -70,8 +71,68 @@ def run_one(n, p=500):
         "two_tier": bool(nj.prof.two_tier),
         **mem,
     }
+    if "--oracle" in sys.argv:
+        # tier-2 quality gate vs the reference on the same input: the
+        # reference's own NJ tree length (its -noml run also includes
+        # NNIs/SPRs, so compare against ITS NJ log length is not available;
+        # instead run both pipelines' full -noml and compare tree lengths)
+        out["oracle"] = run_oracle_noml(codes, n, p)
+        if out["oracle"]:
+            full = run_full_noml(codes)
+            out["full_noml_wall_s"] = round(full["wall_s"], 1)
+            out["full_noml_tree_length"] = round(full["tree_length"], 2)
+            ref_len = out["oracle"]["tree_length"]
+            out["tree_length_vs_oracle_rel"] = round(
+                abs(full["tree_length"] - ref_len) / ref_len, 5)
     print(json.dumps(out), flush=True)
     return out
+
+
+def run_full_noml(codes):
+    """Full -noml -nosupport pipeline wall + tree length."""
+    import io
+    import re
+
+    from bench_e2e import ALPHA
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    lines = []
+    for i, row in enumerate(codes):
+        lines.append(f">s{i}")
+        lines.append("".join(ALPHA[c] for c in row))
+    fasta = io.StringIO("\n".join(lines) + "\n")
+    opts = Options(n_codes=4, show_progress=False, ml_nni=0, n_bootstrap=0)
+    opts.derive_settings()
+    out = io.StringIO()
+    t0 = time.perf_counter()
+    run_pipeline(opts, fasta, out)
+    wall = time.perf_counter() - t0
+    nw = out.getvalue()
+    tl = sum(float(x) for x in re.findall(r":(-?[0-9.]+)", nw))
+    return {"wall_s": wall, "tree_length": tl}
+
+
+def run_oracle_noml(codes, n, p):
+    import re
+    import subprocess
+
+    from bench_e2e import write_fasta
+
+    oracle = os.environ.get("VFT_ORACLE", "/tmp/refbuild/VeryFastTree")
+    if not os.path.exists(oracle):
+        return None
+    fasta = f"/tmp/bench_scale_{n}_{p}.fasta"
+    write_fasta(fasta, codes)
+    t0 = time.perf_counter()
+    res = subprocess.run([oracle, "-nt", "-noml", "-nosupport", "-nopr",
+                          fasta], capture_output=True, text=True,
+                         timeout=36000)
+    wall = time.perf_counter() - t0
+    if res.returncode != 0:
+        return None
+    tl = sum(float(x) for x in re.findall(r":(-?[0-9.]+)", res.stdout))
+    return {"wall_s": round(wall, 1), "tree_length": round(tl, 2)}
 
 
 def main():

@@ -32,6 +32,7 @@ def compute_up_profiles_levelwise(nj, use_ml: bool) -> np.ndarray:
     """
     tree = nj.tree
     levels = tree.level_lists()
+    triples = []
     for level in reversed(levels):  # top-down
         nodes = [int(n) for n in level
                  if n != tree.root and n >= nj.n_seqs and tree.n_child[n] == 2]
@@ -56,10 +57,15 @@ def compute_up_profiles_levelwise(nj, use_ml: bool) -> np.ndarray:
             l2s.append(len_d)
         if use_ml:
             # ML up-profile: posterior of (C, D) (ref getUpProfile tcc:3404-3419)
-            nj.ml.posterior_rows(targets, r1s, r2s, l1s, l2s)
+            triples.append((targets, r1s, r2s, l1s, l2s))
         else:
-            nj.prof.average_scatter_rows(targets, r1s, r2s,
-                                         [0.5] * len(nodes))
+            triples.append((targets, r1s, r2s))
+    if not triples:
+        return
+    if use_ml:
+        nj.ml.posterior_sweep(triples)
+    else:
+        nj.prof.average_sweep(triples)
 
 
 def _gather_quartets(nj, nodes, use_ml: bool):

@@ -120,6 +120,64 @@ def _approx_tuple(use_approx, near_p, near_freq):
 
 @functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
                    donate_argnums=(0, 1, 2))
+def _posterior_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, tbl_l1, tbl_l2, rates,
+                     ratecat, eigenval, code_freq, statinv, eigeninv,
+                     min_rel_len, min_len, jc, tol, use_approx, near_p,
+                     near_freq, rough_acc, exact_acc):
+    """A RUN of tree levels' posterior recomputes in ONE donated dispatch
+    (tables [L, K], -1 target pads drop).  Donated jit calls pay ~4.6 ms of
+    host dispatch overhead each (Python pjit path); per-LEVEL posterior
+    calls made recomputeMLProfiles / up-profile sweeps dispatch-bound."""
+    def body(k, carry):
+        codes, W, V, ra, ea = carry
+
+        def one(r1, r2, l1, l2):
+            # closes over the CARRIED store: level k reads level k-1's writes
+            l1 = jnp.maximum(l1, min_len)
+            l2 = jnp.maximum(l2, min_len)
+            c1, w1, v1 = codes[r1], W[r1], V[r1]
+            c2, w2, v2 = codes[r2], W[r2], V[r2]
+            f1 = kernels.ml_effective(c1, w1, v1, code_freq, True, jc)
+            f2 = kernels.ml_effective(c2, w2, v2, code_freq, True, jc)
+            if jc:
+                ps1, pd1 = kernels.p_same_diff(l1, rates)
+                ps2, pd2 = kernels.p_same_diff(l2, rates)
+                w_out, v_out = kernels.posterior_jc(f1, f2, w1, w2, ps1, pd1,
+                                                    ps2, pd2, ratecat)
+                gap = jnp.full((V.shape[-1],), 0.25, dtype=V.dtype)
+                n_rough = n_exact = jnp.zeros((), jnp.float32)
+            else:
+                ee1 = kernels.exp_eigen_rates(l1, rates, eigenval, min_rel_len)
+                ee2 = kernels.exp_eigen_rates(l2, rates, eigenval, min_rel_len)
+                n = V.shape[-1]
+                approx = _approx_tuple(use_approx, near_p, near_freq)
+                w_out, v_out, n_rough, n_exact = kernels.posterior_matrix(
+                    f1, f2, w1, w2, ee1, ee2, ratecat, code_freq[:n],
+                    eigeninv, statinv, tol, approx)
+                gap = code_freq[NOCODE]
+            v_out = jnp.where(w_out[..., None] > 0, v_out, gap)
+            return w_out, v_out, n_rough, n_exact
+
+        t = tbl_t[k]
+        r1 = jnp.clip(tbl_1[k], 0, codes.shape[0] - 1)
+        r2 = jnp.clip(tbl_2[k], 0, codes.shape[0] - 1)
+        w_outs, v_outs, n_roughs, n_exacts = jax.vmap(one)(
+            r1, r2, tbl_l1[k], tbl_l2[k])
+        valid = t >= 0
+        tgt = jnp.where(valid, t, codes.shape[0])
+        codes = codes.at[tgt].set(NOCODE, mode="drop")
+        W = W.at[tgt].set(w_outs, mode="drop")
+        V = V.at[tgt].set(v_outs, mode="drop")
+        vf = valid.astype(jnp.float32)
+        return (codes, W, V, ra + (n_roughs * vf).sum(),
+                ea + (n_exacts * vf).sum())
+
+    return jax.lax.fori_loop(0, tbl_t.shape[0], body,
+                             (codes, W, V, rough_acc, exact_acc))
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
+                   donate_argnums=(0, 1, 2))
 def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, valid, rates,
                     ratecat, eigenval, code_freq, statinv, eigeninv, min_rel_len,
                     min_len, jc, tol, use_approx, near_p, near_freq,
@@ -445,18 +503,40 @@ class MLProfiles:
             jnp.asarray(r2p), self.code_freq, self.eigentot, self.gap_vec,
             self.jc, self.tol)
 
+    def posterior_sweep(self, levels) -> None:
+        """Dependency-ordered posterior level sweep: `levels` is a list of
+        (targets, r1s, r2s, len1s, len2s); one donated dispatch per bucket
+        run (see _posterior_sweep)."""
+        from .profiles import _level_runs
+        opts = self.options
+        for t, r1, r2, l1, l2 in _level_runs(levels, n_float=2):
+            (self.codes, self.W, self.V, self._rough_acc,
+             self._exact_acc) = _posterior_sweep(
+                self.codes, self.W, self.V, jnp.asarray(t), jnp.asarray(r1),
+                jnp.asarray(r2), jnp.asarray(l1, dtype=self.dtype),
+                jnp.asarray(l2, dtype=self.dtype), self.rates, self.ratecat,
+                self.eigenval, self.code_freq, self.statinv, self.eigeninv,
+                self.min_rel_len, self.min_len, self.jc, self.tol,
+                self.use_approx, self.near_p, self.near_freq,
+                self._rough_acc, self._exact_acc)
+            self.nj.debug.n_posterior_compute += int((t >= 0).sum())
+
     def recompute_ml_profiles(self) -> None:
-        """Posterior recompute of all internal profiles bottom-up, level-batched
-        (ref recomputeMLProfiles tcc:3516-3539)."""
+        """Posterior recompute of all internal profiles bottom-up; whole
+        sweep in a few fused dispatches (ref recomputeMLProfiles
+        tcc:3516-3539)."""
         tree = self.nj.tree
         bl = tree.branchlength
+        levels = []
         for level in tree.level_lists():
             nodes = [int(nd) for nd in level if tree.n_child[nd] == 2]
             if not nodes:
                 continue
             iis = np.array([int(tree.children[nd, 0]) for nd in nodes])
             jjs = np.array([int(tree.children[nd, 1]) for nd in nodes])
-            self.posterior_rows(np.array(nodes), iis, jjs, bl[iis], bl[jjs])
+            levels.append((nodes, iis, jjs, bl[iis], bl[jjs]))
+        if levels:
+            self.posterior_sweep(levels)
 
 
 @functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))

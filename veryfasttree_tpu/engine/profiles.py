@@ -329,6 +329,79 @@ def _outprofile_update(w_out, f_out, codes, W, U, i, j, newnode, n_active_old,
 @functools.partial(jax.jit,
                    static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
                    donate_argnums=(0, 1, 2))
+def _avg_sweep(codes, W, U, tbl_t, tbl_i, tbl_j, n_seqs, code_freq,
+               eigentot, use_matrix, two_tier, tol):
+    """A RUN of tree levels' balanced averages in ONE donated dispatch.
+
+    tbl_* are [L, K] index tables (level-major, -1 padding); level k+1 reads
+    rows level k wrote, so the sweep is a fori_loop.  Rationale: a donated
+    jit call pays ~4.6 ms of host dispatch overhead (donation forces the
+    Python pjit path) vs 0.4 ms undonated -- per-LEVEL donated calls made
+    every levelwise phase dispatch-bound.  One call per bucket run
+    amortizes it."""
+    def body(k, carry):
+        codes, W, U = carry
+        t = tbl_t[k]
+        ii = jnp.clip(tbl_i[k], 0, codes.shape[0] - 1)
+        jj = jnp.clip(tbl_j[k], 0, codes.shape[0] - 1)
+        c1, w1, u1 = _rows_cwu(codes, W, U, ii, code_freq, n_seqs, two_tier)
+        c2, w2, u2 = _rows_cwu(codes, W, U, jj, code_freq, n_seqs, two_tier)
+        f = jax.vmap(lambda ci, wi, ui, cj, wj, uj: kernels.average_profile(
+            ci, wi, ui, cj, wj, uj, jnp.asarray(0.5, dtype=W.dtype),
+            code_freq, eigentot if use_matrix else None, tol))
+        c, w, u, _ = f(c1, w1, u1, c2, w2, u2)
+        valid = t >= 0
+        ctgt = jnp.where(valid, t, codes.shape[0])
+        codes = codes.at[ctgt].set(c, mode="drop")
+        phys = t - n_seqs if two_tier else t
+        ptgt = jnp.where(valid, phys, W.shape[0])
+        W = W.at[ptgt].set(w, mode="drop")
+        U = U.at[ptgt].set(u, mode="drop")
+        return codes, W, U
+
+    return jax.lax.fori_loop(0, tbl_t.shape[0], body, (codes, W, U))
+
+
+def _level_runs(levels, n_float=0):
+    """Group consecutive levels into runs sharing a pow2 width bucket.
+
+    levels: dependency-ordered list of per-level tuples
+    (targets, iis, jjs[, f1, f2, ...]) where the trailing n_float entries
+    are float columns (e.g. branch lengths).  Returns a list of table
+    tuples [L_pow2, K] (-1 pads on targets; zeros elsewhere) -- a handful
+    of table shapes regardless of tree shape, so the fused sweep jits stay
+    in-memory cached across rounds."""
+    runs = []
+    cur = []
+    cur_k = None
+    for lv in levels:
+        n = len(lv[0])
+        k = max(8, 1 << (n - 1).bit_length())
+        if cur_k is None or k == cur_k:
+            cur.append(lv)
+            cur_k = k
+        else:
+            runs.append((cur_k, cur))
+            cur, cur_k = [lv], k
+    if cur:
+        runs.append((cur_k, cur))
+    out = []
+    n_int = len(levels[0]) - n_float
+    for k, lvs in runs:
+        L = max(1, 1 << (len(lvs) - 1).bit_length())
+        tabs = [np.full((L, k), -1, dtype=np.int64)]
+        tabs += [np.zeros((L, k), dtype=np.int64) for _ in range(n_int - 1)]
+        tabs += [np.zeros((L, k), dtype=np.float64) for _ in range(n_float)]
+        for r, cols in enumerate(lvs):
+            for c, col in enumerate(cols):
+                tabs[c][r, : len(col)] = col
+        out.append(tuple(tabs))
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
+                   donate_argnums=(0, 1, 2))
 def _avg_scatter_rows(codes, W, U, targets, iis, jjs, bws, n_seqs, code_freq,
                       eigentot, use_matrix, two_tier, tol):
     """Fused gather -> averageProfile -> scatter on the donated store.
@@ -635,6 +708,16 @@ class MEProfiles:
             self.codes, self.W, self.U, i, j, node, self._phys(node),
             self.dtype(bw), self.n_seqs, self.code_freq, self.eigenval,
             self.eigentot, self.use_matrix, self.two_tier, self.tol)
+
+    def average_sweep(self, levels) -> None:
+        """Balanced-average level sweep: `levels` is a dependency-ordered
+        list of (targets, iis, jjs); one donated dispatch per bucket run
+        (see _avg_sweep / _level_runs)."""
+        for t, i, j in _level_runs(levels):
+            self.codes, self.W, self.U = _avg_sweep(
+                self.codes, self.W, self.U, jnp.asarray(t), jnp.asarray(i),
+                jnp.asarray(j), self.n_seqs, self.code_freq, self.eigentot,
+                self.use_matrix, self.two_tier, self.tol)
 
     def average_scatter_rows(self, targets, iis, jjs, bws) -> None:
         """Fused batched averageProfile + scatter into the store (one

@@ -399,10 +399,11 @@ def update_branch_lengths(nj) -> None:
 
 
 def recompute_profiles_levelwise(nj, dmat=None) -> None:
-    """Bottom-up unweighted re-average of all internal profiles, one batched
-    device call per tree level (ref recomputeProfiles tcc:3482-3505 via
-    parallelTraverse -- the TPU-native form of level-0/1 parallelism)."""
+    """Bottom-up unweighted re-average of all internal profiles; whole
+    sweep in a few fused dispatches (ref recomputeProfiles tcc:3482-3505
+    via parallelTraverse -- the TPU-native form of level-0/1 parallelism)."""
     tree = nj.tree
+    levels = []
     for level in tree.level_lists():
         nodes = [int(n) for n in level
                  if tree.n_child[n] == 2]
@@ -410,12 +411,14 @@ def recompute_profiles_levelwise(nj, dmat=None) -> None:
             continue
         iis = [int(tree.children[n, 0]) for n in nodes]
         jjs = [int(tree.children[n, 1]) for n in nodes]
-        nj.prof.average_scatter_rows(nodes, iis, jjs, [0.5] * len(nodes))
+        levels.append((nodes, iis, jjs))
         nj.debug.profile_avg_ops += len(nodes)
         if nj.n_cons:
             for n, i, j in zip(nodes, iis, jjs):
                 nj.con_on[n] = nj.con_on[i] + nj.con_on[j]
                 nj.con_off[n] = nj.con_off[i] + nj.con_off[j]
+    if levels:
+        nj.prof.average_sweep(levels)
 
 
 def tree_length(nj, recompute_profiles: bool) -> float:
