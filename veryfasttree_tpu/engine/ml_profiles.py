@@ -482,26 +482,23 @@ class MLProfiles:
         self._exact_acc = jnp.zeros((), jnp.float32)
 
     def recompute_average_profiles(self) -> None:
-        """Balanced averaging of internal nodes in ML space, level-batched
-        (ref recomputeProfiles(tmatAsDist))."""
+        """Balanced averaging of internal nodes in ML space; whole sweep in
+        a few fused dispatches (ref recomputeProfiles(tmatAsDist))."""
+        from .profiles import _level_runs
         tree = self.nj.tree
+        levels = []
         for level in tree.level_lists():
             nodes = [int(nd) for nd in level if tree.n_child[nd] == 2]
             if not nodes:
                 continue
             iis = np.array([int(tree.children[nd, 0]) for nd in nodes])
             jjs = np.array([int(tree.children[nd, 1]) for nd in nodes])
-            self._avg_rows(np.array(nodes), iis, jjs)
-
-    def _avg_rows(self, targets, r1s, r2s) -> None:
-        tp, n = _pad_pow2(np.asarray(targets, dtype=np.int64),
-                          fill=self.scratch_row(S_TMP2))
-        r1p, _ = _pad_pow2(np.asarray(r1s, dtype=np.int64))
-        r2p, _ = _pad_pow2(np.asarray(r2s, dtype=np.int64))
-        self.codes, self.W, self.V = _ml_avg_rows(
-            self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
-            jnp.asarray(r2p), self.code_freq, self.eigentot, self.gap_vec,
-            self.jc, self.tol)
+            levels.append((nodes, iis, jjs))
+        for t, i, j in _level_runs(levels) if levels else []:
+            self.codes, self.W, self.V = _ml_avg_sweep(
+                self.codes, self.W, self.V, jnp.asarray(t), jnp.asarray(i),
+                jnp.asarray(j), self.code_freq, self.eigentot, self.gap_vec,
+                self.jc, self.tol)
 
     def posterior_sweep(self, levels) -> None:
         """Dependency-ordered posterior level sweep: `levels` is a list of
@@ -540,23 +537,35 @@ class MLProfiles:
 
 
 @functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
-def _ml_avg_rows(codes, W, V, targets, r1s, r2s, code_freq, eigentot, gap_vec,
-                 jc, tol):
+def _ml_avg_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, code_freq, eigentot,
+                  gap_vec, jc, tol):
+    """A RUN of tree levels' ML-space balanced averages in ONE donated
+    dispatch (tables [L, K], -1 target pads drop; see _posterior_sweep for
+    the dispatch-overhead rationale)."""
     n = V.shape[-1]
 
-    def one(c1, w1, v1, c2, w2, v2):
-        c, w, _, f = kernels.average_profile(
-            c1, w1, w1[..., None] * v1, c2, w2, w2[..., None] * v2, 0.5,
-            code_freq[:n], None if jc else eigentot, tol)
-        f = jnp.where(w[..., None] > 0, f, gap_vec)
-        return c, w, f
+    def body(k, carry):
+        codes, W, V = carry
 
-    cs, ws, fs = jax.vmap(one)(codes[r1s], W[r1s], V[r1s],
-                               codes[r2s], W[r2s], V[r2s])
-    codes = codes.at[targets].set(cs)
-    W = W.at[targets].set(ws)
-    V = V.at[targets].set(fs)
-    return codes, W, V
+        def one(c1, w1, v1, c2, w2, v2):
+            c, w, _, f = kernels.average_profile(
+                c1, w1, w1[..., None] * v1, c2, w2, w2[..., None] * v2, 0.5,
+                code_freq[:n], None if jc else eigentot, tol)
+            f = jnp.where(w[..., None] > 0, f, gap_vec)
+            return c, w, f
+
+        t = tbl_t[k]
+        r1 = jnp.clip(tbl_1[k], 0, codes.shape[0] - 1)
+        r2 = jnp.clip(tbl_2[k], 0, codes.shape[0] - 1)
+        cs, ws, fs = jax.vmap(one)(codes[r1], W[r1], V[r1],
+                                   codes[r2], W[r2], V[r2])
+        tgt = jnp.where(t >= 0, t, codes.shape[0])
+        codes = codes.at[tgt].set(cs, mode="drop")
+        W = W.at[tgt].set(ws, mode="drop")
+        V = V.at[tgt].set(fs, mode="drop")
+        return codes, W, V
+
+    return jax.lax.fori_loop(0, tbl_t.shape[0], body, (codes, W, V))
 
 
 # ---------------------------------------------------------------------------
