@@ -59,6 +59,9 @@ def main():
     orig["tll"] = wrap(ml_mod, "tree_loglk")
     orig["rates"] = wrap(ml_mod, "set_ml_rates")
     orig["splits"] = wrap(batched, "test_splits_ml_batched", "test_splits")
+    orig["splits2"] = wrap(ml_mod, "test_splits_ml", "test_splits_serial")
+    import veryfasttree_tpu.engine.ml_profiles as mlp_mod
+    orig["mlctor"] = wrap(mlp_mod.MLProfiles, "__init__", "ml_store_init")
     # also wrap the quartet dispatch + recompute inside MLProfiles
     qfn = MLProfiles.quartet_nni_rows
     rfn = MLProfiles.recompute_ml_profiles

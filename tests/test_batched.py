@@ -94,3 +94,33 @@ def test_batched_supports_match_serial(tmp_path):
                - sc2.d_worst_delta_unconstrained) < 1e-12
     m = nj1.tree.maxnode
     np.testing.assert_array_equal(nj1.tree.support[:m], nj2.tree.support[:m])
+
+
+def test_batched_sh_supports_quality(tmp_path):
+    """Batched testSplitsML + SH supports track the serial path (equal-
+    quality tier: identical split counts, supports within 0.1)."""
+    import re
+
+    from veryfasttree_tpu.options import Options
+    from veryfasttree_tpu.pipeline import run_pipeline
+
+    seqs = simulate_alignment(30, 200, seed=12)
+    fasta = str(tmp_path / "t.fasta")
+    write_fasta(fasta, seqs)
+
+    def run(threads):
+        opts = Options(show_progress=False, n_codes=4, n_bootstrap=200,
+                       threads=threads)
+        opts.derive_settings()
+        out = io.StringIO()
+        with open(fasta) as f:
+            nj, sc = run_pipeline(opts, f, out, log_fp=None)
+        return out.getvalue().strip(), sc
+
+    nw1, sc1 = run(1)
+    nw2, sc2 = run(2)
+    assert (sc1.n_splits, sc1.n_bad_splits) == (sc2.n_splits, sc2.n_bad_splits)
+    s1 = [float(x) for x in re.findall(r"\)([0-9.]+):", nw1)]
+    s2 = [float(x) for x in re.findall(r"\)([0-9.]+):", nw2)]
+    assert len(s1) == len(s2) and s1
+    assert max(abs(a - b) for a, b in zip(s1, s2)) <= 0.1

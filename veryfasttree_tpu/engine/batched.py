@@ -380,14 +380,27 @@ def tree_length_batched(nj, recompute_profiles: bool) -> float:
 
 
 def test_splits_ml_batched(nj, progress=None):
-    """Batched ML split testing (no-bootstrap path): the three topology
-    log-likelihoods per split via the vmapped quartet optimizer
-    (thread-level analog of ref testSplitsML tcc:6800-6999)."""
-    from .supports import SplitCount
+    """Batched ML split testing incl. SH-like supports: the three topology
+    log-likelihoods + per-site log-lks per split via one vmapped device
+    dispatch chain, then the bootstrap resampling as numpy matmuls
+    (thread-level analog of ref testSplitsML tcc:6800-6999 + SHSupport
+    :1126-1164).  The serial path pays ~30 dispatches with ~8 blocking
+    fetches per internal node."""
+    from .ml import sh_support
+    from .supports import SplitCount, resample_columns, \
+        resample_count_matrix, split_violates_constraint
+    from . import rearrange as _re
+
     sc = SplitCount()
+    opts = nj.options
     tree = nj.tree
     if nj.n_seqs <= 3:
         return sc
+    tol = 1e-6
+    counts_pb = None
+    if opts.n_bootstrap > 0:
+        col = resample_columns(nj)
+        counts_pb = resample_count_matrix(col, nj.n_pos)
     compute_up_profiles_levelwise(nj, use_ml=True)
     candidates = [n for n in range(nj.n_seqs, tree.maxnode)
                   if n != tree.root and tree.parent[n] >= 0
@@ -399,13 +412,38 @@ def test_splits_ml_batched(nj, progress=None):
         tree.branchlength[nodes4[:, 0]], tree.branchlength[nodes4[:, 1]],
         tree.branchlength[nodes4[:, 2]], tree.branchlength[nodes4[:, 3]],
         tree.branchlength[np.array(candidates)]], axis=1)
-    _, criteria, _ = nj.ml.quartet_nni_rows(rows, lengths)
-    loglk = criteria  # [K, 3] = (ABvsCD, ACvsBD, ADvsBC) quartet log-lks
-    best = loglk.max(axis=1)
-    bad = best > loglk[:, ABvsCD] + constants.TREE_LOGLK_DELTA
+    loglk, site = nj.ml.quartet_split_rows(rows, lengths)
     sc.n_splits = len(candidates)
-    sc.n_bad_splits = int(bad.sum())
-    if bad.any():
-        sc.d_worst_delta_unconstrained = float(
-            (best - loglk[:, ABvsCD])[bad].max())
+    for k, node in enumerate(candidates):
+        ll = loglk[k]
+        if ll[ABvsCD] >= ll[ACvsBD] and ll[ABvsCD] >= ll[ADvsBC]:
+            choice = ABvsCD
+        elif ll[ACvsBD] >= ll[ABvsCD] and ll[ACvsBD] >= ll[ADvsBC]:
+            choice = ACvsBD
+        else:
+            choice = ADvsBC
+        bad_split = ll[choice] > ll[ABvsCD] + constants.TREE_LOGLK_DELTA
+        if nj.n_cons:
+            pcounts = [(nj.con_on[nd], nj.con_off[nd]) for nd in nodes4[k]]
+            p = _re.quartet_constraint_penalties(nj, pcounts)
+        else:
+            p = np.zeros(3)
+        bad_constr = p[ABvsCD] > p[ACvsBD] + tol or p[ABvsCD] > p[ADvsBC] + tol
+        if any(split_violates_constraint(nj, nodes4[k], c)
+               for c in range(nj.n_cons)):
+            sc.n_constraint_violations += 1
+        if bad_split:
+            sc.n_bad_splits += 1
+            delta = ll[choice] - ll[ABvsCD]
+            if p[choice] > p[ABvsCD] + tol:
+                sc.d_worst_delta_constrained = max(
+                    delta, sc.d_worst_delta_constrained)
+            else:
+                sc.d_worst_delta_unconstrained = max(
+                    delta, sc.d_worst_delta_unconstrained)
+        if bad_split and bad_constr:
+            sc.n_bad_both += 1
+        if opts.n_bootstrap > 0:
+            tree.support[node] = 0.0 if bad_split else sh_support(
+                nj, ll, site[k], counts_pb)
     return sc

@@ -881,7 +881,7 @@ def run_ml_phase(nj, ml_nni_to_do: int, n_uniq: int, progress, log,
 
     sc = SplitCount()
     if (ml_nni_to_do > 0 and not opts.fastest) or opts.n_bootstrap > 0:
-        if opts.threads > 1 and opts.n_bootstrap == 0:
+        if opts.threads > 1:
             from . import batched
             sc = batched.test_splits_ml_batched(nj, progress)
         else:

@@ -442,6 +442,39 @@ class MLProfiles:
             self.nj.debug.n_posterior_compute += 3 * 6 * n
         return choices, crits, newlens
 
+    def quartet_split_rows(self, rows, lengths, chunk: int = 256):
+        """Batched three-topology split test with per-site log-lks (device
+        core of testSplitsML).  rows [K,4], lengths [K,5] ->
+        (loglk [K,3], site [K,3,n_pos])."""
+        from .. import constants
+        opts = self.options
+        K = len(rows)
+        loglk = np.zeros((K, 3))
+        site = np.zeros((K, 3, self.n_pos))
+        acc_gt1 = bool(opts.ml_accuracy > 1)
+        for s in range(0, K, chunk):
+            e = min(s + chunk, K)
+            n = e - s
+            m = chunk
+            rpad = np.zeros((m, 4), dtype=np.int64)
+            lpad = np.full((m, 5), 0.1, dtype=self.dtype)
+            rpad[:n] = rows[s:e]
+            lpad[:n] = lengths[s:e]
+            ll, st = _quartet_split_rows(
+                self.codes, self.W, self.V, jnp.asarray(rpad),
+                jnp.asarray(lpad),
+                self.dtype(constants.CLOSE_LOGLK_LIMIT), acc_gt1,
+                self.rates, self.ratecat, self.eigenval, self.code_freq,
+                self.statinv, self.eigeninv, self.pos_mask, self.min_rel_len,
+                self.min_len, self.tol,
+                self.dtype(opts.ml_ftol_branch_length),
+                self.dtype(opts.ml_min_branch_length_tolerance), self.jc,
+                self.use_approx, self.near_p, self.near_freq)
+            loglk[s:e] = np.asarray(ll, dtype=np.float64)[:n]
+            site[s:e] = np.asarray(st, dtype=np.float64)[:n, :, : self.n_pos]
+            self.nj.debug.n_lk_compute += 4 * 5 * 8 * n
+        return loglk, site
+
     def posterior_into(self, target: int, r1: int, r2: int, len1: float,
                        len2: float) -> None:
         self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
@@ -817,6 +850,128 @@ def _quartet_opt_device(pA, pB, pC, pD, len5, rates, ratecat, eigenval,
     ld, neg = opt(pD, abc, ld)
     loglk = -neg + ll(ab, pC, li + lc) + ll(pA, pB, la + lb)
     return loglk, jnp.stack([la, lb, lc, ld, li])
+
+
+def _ll_pair_site(p1, p2, length, rates, ratecat, eigenval, pos_mask,
+                  min_rel_len, jc):
+    """(loglk, per-site LOG lk masked to real positions)."""
+    _, f1, w1 = p1
+    _, f2, w2 = p2
+    if jc:
+        ps, pd = kernels.p_same_diff(length, rates)
+        ll, lk = kernels.pair_loglk_jc(f1, f2, ps, pd, ratecat, pos_mask)
+    else:
+        ee = kernels.exp_eigen_rates(length, rates, eigenval, min_rel_len)
+        ll, lk = kernels.pair_loglk_matrix(f1, f2, w1, w2, ee, ratecat,
+                                           pos_mask)
+    site = jnp.where(pos_mask, jnp.log(jnp.maximum(lk, 1e-300)), 0.0)
+    return ll, site
+
+
+def _quartet_opt_site(pA, pB, pC, pD, len5, rates, ratecat, eigenval,
+                      code_freq, statinv, eigeninv, pos_mask, min_rel_len,
+                      min_len, tol, ftol, atol, jc, approx=None):
+    """_quartet_opt_device + per-site log-lks of the optimized quartet
+    (host ml_quartet_optimize want_site_lk=True, ref tcc:1650-1788)."""
+    lens = jnp.maximum(len5, min_len)
+    la, lb, lc, ld, li = lens[0], lens[1], lens[2], lens[3], lens[4]
+
+    def post(p1, p2, l1, l2):
+        return _post_pair(p1, p2, l1, l2, rates, ratecat, eigenval, code_freq,
+                          statinv, eigeninv, min_rel_len, min_len, tol, jc,
+                          approx)
+
+    def ll(p1, p2, length):
+        return _ll_pair(p1, p2, length, rates, ratecat, eigenval, pos_mask,
+                        min_rel_len, jc)
+
+    def opt(p1, p2, guess):
+        return _onedimenmin_device(lambda x: -ll(p1, p2, x), guess, min_len,
+                                   jnp.asarray(6.0, dtype=guess.dtype), ftol,
+                                   atol)
+
+    ab = post(pA, pB, la, lb)
+    cd = post(pC, pD, lc, ld)
+    li, neg = opt(ab, cd, li)
+    bcd = post(pB, cd, lb, li)
+    la, neg = opt(pA, bcd, la)
+    acd = post(pA, cd, la, li)
+    lb, neg = opt(pB, acd, lb)
+    ab = post(pA, pB, la, lb)
+    abd = post(ab, pD, li, ld)
+    lc, neg = opt(pC, abd, lc)
+    abc = post(ab, pC, li, lc)
+    ld, neg = opt(pD, abc, ld)
+    _, s1 = _ll_pair_site(abc, pD, ld, rates, ratecat, eigenval, pos_mask,
+                          min_rel_len, jc)
+    ll2, s2 = _ll_pair_site(ab, pC, li + lc, rates, ratecat, eigenval,
+                            pos_mask, min_rel_len, jc)
+    ll3, s3 = _ll_pair_site(pA, pB, la + lb, rates, ratecat, eigenval,
+                            pos_mask, min_rel_len, jc)
+    loglk = -neg + ll2 + ll3
+    return loglk, s1 + s2 + s3, jnp.stack([la, lb, lc, ld, li])
+
+
+def _quartet_split_core(codes, W, V, rows4, len5, close_lim, acc_gt1, rates,
+                        ratecat, eigenval, code_freq, statinv, eigeninv,
+                        pos_mask, min_rel_len, min_len, tol, ftol, atol, jc,
+                        approx=None):
+    """One split's three-topology log-lks + per-site log-lks (the device
+    core of testSplitsML, ref tcc:6856-6999): AB|CD at current lengths,
+    AC|BD and AD|BC fully optimized, with the reference's second
+    re-optimization pass on the closer alternative."""
+    pA = _p_from_row(codes, W, V, rows4[0], code_freq, jc)
+    pB = _p_from_row(codes, W, V, rows4[1], code_freq, jc)
+    pC = _p_from_row(codes, W, V, rows4[2], code_freq, jc)
+    pD = _p_from_row(codes, W, V, rows4[3], code_freq, jc)
+    lens = jnp.maximum(len5, min_len)
+    la, lb, lc, ld, li = lens[0], lens[1], lens[2], lens[3], lens[4]
+    args = (rates, ratecat, eigenval, code_freq, statinv, eigeninv, pos_mask,
+            min_rel_len, min_len, tol, ftol, atol, jc, approx)
+
+    # ABvsCD: quartet log-lk at CURRENT lengths (ref MLQuartetLogLk :5410)
+    ab = _post_pair(pA, pB, la, lb, rates, ratecat, eigenval, code_freq,
+                    statinv, eigeninv, min_rel_len, min_len, tol, jc, approx)
+    cd = _post_pair(pC, pD, lc, ld, rates, ratecat, eigenval, code_freq,
+                    statinv, eigeninv, min_rel_len, min_len, tol, jc, approx)
+    ll1, s1 = _ll_pair_site(pA, pB, la + lb, rates, ratecat, eigenval,
+                            pos_mask, min_rel_len, jc)
+    ll2, s2 = _ll_pair_site(pC, pD, lc + ld, rates, ratecat, eigenval,
+                            pos_mask, min_rel_len, jc)
+    ll3, s3 = _ll_pair_site(ab, cd, li, rates, ratecat, eigenval,
+                            pos_mask, min_rel_len, jc)
+    ll_ab = ll1 + ll2 + ll3
+    site_ab = s1 + s2 + s3
+
+    l_ac = jnp.stack([len5[0], len5[2], len5[1], len5[3], len5[4]])
+    l_ad = jnp.stack([len5[0], len5[3], len5[2], len5[1], len5[4]])
+    ll_ac, site_ac, n_ac = _quartet_opt_site(pA, pC, pB, pD, l_ac, *args)
+    ll_ad, site_ad, n_ad = _quartet_opt_site(pA, pD, pC, pB, l_ad, *args)
+    # second pass on the closer alternative (ref :6932-6945); both are
+    # computed (uniform vmapped cost) and selected by the host rule
+    redo_ac = (ll_ac > ll_ad) & (acc_gt1 | (ll_ac > ll_ab - close_lim))
+    redo_ad = (~(ll_ac > ll_ad)) & (acc_gt1 | (ll_ad > ll_ab - close_lim))
+    ll_ac2, site_ac2, _ = _quartet_opt_site(pA, pC, pB, pD, n_ac, *args)
+    ll_ad2, site_ad2, _ = _quartet_opt_site(pA, pD, pC, pB, n_ad, *args)
+    ll_ac = jnp.where(redo_ac, ll_ac2, ll_ac)
+    site_ac = jnp.where(redo_ac, site_ac2, site_ac)
+    ll_ad = jnp.where(redo_ad, ll_ad2, ll_ad)
+    site_ad = jnp.where(redo_ad, site_ad2, site_ad)
+    return (jnp.stack([ll_ab, ll_ac, ll_ad]),
+            jnp.stack([site_ab, site_ac, site_ad]))
+
+
+@functools.partial(jax.jit, static_argnames=("jc", "use_approx"))
+def _quartet_split_rows(codes, W, V, rows, lens, close_lim, acc_gt1, rates,
+                        ratecat, eigenval, code_freq, statinv, eigeninv,
+                        pos_mask, min_rel_len, min_len, tol, ftol, atol, jc,
+                        use_approx, near_p, near_freq):
+    approx = _approx_tuple(use_approx, near_p, near_freq)
+    f = jax.vmap(lambda r4, l5: _quartet_split_core(
+        codes, W, V, r4, l5, close_lim, acc_gt1, rates, ratecat, eigenval,
+        code_freq, statinv, eigeninv, pos_mask, min_rel_len, min_len, tol,
+        ftol, atol, jc, approx))
+    return f(rows, lens)
 
 
 def _quartet_nni_core(codes, W, V, rows4, len5, rates, ratecat, eigenval,
