@@ -159,3 +159,28 @@ def test_spr_epoch_constraints_identical(tmp_path, monkeypatch):
     np.testing.assert_array_equal(nj_h.tree.parent, nj_e.tree.parent)
     np.testing.assert_array_equal(nj_h.tree.children, nj_e.tree.children)
     np.testing.assert_array_equal(nj_h.con_on, nj_e.con_on)
+
+
+def test_spr_epoch_lanes4_quality(monkeypatch):
+    """The vmapped 4-lane chain mode (batched tier) must match the serial
+    device path's tree QUALITY: same accepted-move count within a few and
+    ME tree length within 0.1%."""
+    import numpy as np
+
+    from veryfasttree_tpu.engine import rearrange, spr_epoch
+    from veryfasttree_tpu.engine import batched
+
+    codes = _synth(150, 300, 2)
+
+    def run(lanes):
+        monkeypatch.setenv("VFT_SPR_LANES4", "1" if lanes else "0")
+        nj = _build_nj(codes)
+        spr_epoch.run_spr_epoch(nj, 0, 2)
+        batched.update_branch_lengths_batched(nj)
+        tl = float(np.abs(nj.tree.branchlength[: nj.tree.maxnode]).sum())
+        return nj.debug.n_spr, tl
+
+    n1, tl1 = run(False)
+    n2, tl2 = run(True)
+    assert abs(tl1 - tl2) < 0.001 * tl1, (tl1, tl2)
+    assert abs(n1 - n2) <= max(2, n1 // 5), (n1, n2)

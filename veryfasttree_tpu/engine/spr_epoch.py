@@ -93,13 +93,13 @@ def _merge_ov(codes_m, W_m, U_m, ov_ids, ov_c, ov_w, ov_u, ov_n,
     jax.jit,
     static_argnames=("n_seqs", "maxnodes", "use_matrix", "two_tier", "tol",
                      "bionj", "logdist", "jc", "pseudo", "max_spr_len",
-                     "n_cons", "con_weight", "up", "do_merge"),
+                     "n_cons", "con_weight", "up", "do_merge", "lanes4"),
     donate_argnums=(0, 1, 2, 3))
 def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
               code_freq, eigenval, eigentot,
               n_seqs, maxnodes, use_matrix, two_tier, tol, bionj, logdist,
               jc, pseudo, max_spr_len, n_cons, con_weight, up=None,
-              do_merge=True):
+              do_merge=True, lanes4=True):
     """Optionally fold accumulated overrides into the store, then run one
     node's full SPR processing (ref traverseSPR tcc:6185-6313 body).
 
@@ -393,9 +393,9 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
     # ------------------------------------------------------------- chains
     Lmax = max_spr_len
 
-    def run_chain(s, around0, ac_first, enabled):
-        """findSPRSteps + best-prefix + unwind (ref tcc:1805-1879,
-        6236-6263).  Returns (s, changed)."""
+    def chain_forward(s, around0, ac_first, enabled):
+        """findSPRSteps + best-prefix, NO unwinding (ref tcc:1805-1858,
+        6236-6260).  Returns (s, n0s, n1s, n_steps, best)."""
         n0s = jnp.zeros((Lmax,), jnp.int32)
         n1s = jnp.zeros((Lmax,), jnp.int32)
         deltas = jnp.zeros((Lmax,), cd)
@@ -446,7 +446,10 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
         (_, _, best), _ = jax.lax.scan(
             pref, (jnp.asarray(0.0, cd), jnp.asarray(0.0, cd),
                    jnp.int32(-1)), jnp.arange(Lmax, dtype=jnp.int32))
+        return s, n0s, n1s, n_steps, best
 
+    def unwind_tail(s, n0s, n1s, n_steps, best):
+        """unwindSPRStep for steps beyond the best prefix (ref :1861-1879)."""
         def ucond(c):
             _, idx = c
             return idx > best
@@ -464,7 +467,7 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
             return s, idx - 1
 
         s, _ = jax.lax.while_loop(ucond, ubody, (s, n_steps - 1))
-        return s, best >= 0
+        return s
 
     # ------------------------------------------------- per-node processing
     par0 = s.parent[clipM(node_move)]
@@ -472,18 +475,74 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
     rr0, rr1 = rsibs(s, node_move)
     around_a = jnp.where(pr_root0, rr0, par0)
     around_b = jnp.where(pr_root0, rr1, sib_of(s, node_move))
-
-    def combo(i, c):
-        s, changed = c
-        around0 = jnp.where(i // 2 == 0, around_a, around_b)
-        ac_first = (i % 2) == 1
-        s, ch = run_chain(s, around0, ac_first, ~changed)
-        return s, changed | ch
-
     active_node = (node_move != root) & (s.parent[clipM(node_move)] >= 0)
-    s, changed = jax.lax.fori_loop(
-        0, 4, combo, (s, ~active_node))
-    changed = changed & active_node
+
+    if lanes4:
+        # All 4 (around, ac_first) chains run vmapped from the SAME initial
+        # state and the FIRST accepted lane (combo order) is kept -- 4x less
+        # sequential depth per node.  NOT bit-identical to the serial order:
+        # a fully-unwound chain restores topology and profile rows exactly,
+        # but up-profile memo entries FILLED MID-CHAIN (from temporarily
+        # modified profiles) survive the serial unwind, while the snapshot
+        # restore discards them -- the same deliberate-staleness class as
+        # the reference's own threads>1 modes, so this lane mode is tied to
+        # the batched (threads>1) tier; serial-tier runs use lanes4=False
+        # (tests/test_spr_epoch.py pins both: bit-identity for the serial
+        # mode, equal quality for lanes).
+        def lane(around0, acf):
+            ls = s._replace(ctr=jnp.zeros((8, 2), jnp.uint32))
+            ls, n0s, n1s, n_steps, best = chain_forward(
+                ls, around0, acf, active_node)
+            return (ls.parent, ls.child, ls.uvalid, ls.ov_ids, ls.ov_c,
+                    ls.ov_w, ls.ov_u, ls.ov_n, ls.ov_flow, ls.con_on,
+                    ls.con_off, ls.ctr, n0s, n1s, n_steps, best)
+
+        arounds = jnp.stack([around_a, around_a, around_b, around_b])
+        acfs = jnp.asarray([False, True, False, True])
+        (par_l, child_l, uval_l, ovi_l, ovc_l, ovw_l, ovu_l, ovn_l, ovf_l,
+         con1_l, con2_l, ctr_l, n0s_l, n1s_l, nst_l, best_l) = \
+            jax.vmap(lane)(arounds, acfs)
+        acc = best_l >= 0
+        w = jnp.argmax(acc).astype(jnp.int32)     # first accepted lane
+        changed = jnp.any(acc) & active_node
+        sel = jnp.where(changed, w, 0)
+
+        def pick(x_l, orig):
+            return jnp.where(changed, x_l[sel], orig)
+
+        # serial ran lanes 0..w (acceptance breaks), else all 4
+        ran = jnp.where(changed, w + 1, jnp.where(active_node, 4, 0))
+        lane_mask = (jnp.arange(4) < ran).astype(jnp.uint32)
+        ctr = s.ctr
+        dlo = (ctr_l[:, :, 0] * lane_mask[:, None]).sum(axis=0)
+        for slot in range(8):
+            ctr = _ctr_add(ctr, slot, dlo[slot])
+        s = s._replace(
+            parent=pick(par_l, s.parent), child=pick(child_l, s.child),
+            uvalid=pick(uval_l, s.uvalid), ov_ids=pick(ovi_l, s.ov_ids),
+            ov_c=pick(ovc_l, s.ov_c), ov_w=pick(ovw_l, s.ov_w),
+            ov_u=pick(ovu_l, s.ov_u),
+            ov_n=jnp.where(changed, ovn_l[sel], s.ov_n),
+            ov_flow=s.ov_flow | (ovf_l & (jnp.arange(4) < ran)).any(),
+            con_on=pick(con1_l, s.con_on), con_off=pick(con2_l, s.con_off),
+            ctr=ctr)
+        n0s_w = n0s_l[sel]
+        n1s_w = n1s_l[sel]
+        nst_w = jnp.where(changed, nst_l[sel], 0)
+        best_w = jnp.where(changed, best_l[sel], jnp.int32(-1))
+        s = unwind_tail(s, n0s_w, n1s_w, nst_w, best_w)
+    else:
+        def combo(i, c):
+            s, changed = c
+            around0 = jnp.where(i // 2 == 0, around_a, around_b)
+            ac_first = (i % 2) == 1
+            s, n0s, n1s, n_steps, best = chain_forward(
+                s, around0, ac_first, active_node & ~changed)
+            s = unwind_tail(s, n0s, n1s, n_steps, best)
+            return s, changed | (best >= 0)
+
+        s, changed = jax.lax.fori_loop(0, 4, combo, (s, jnp.bool_(False)))
+        changed = changed & active_node
     s = s._replace(ctr=_ctr_add(s.ctr, K_SPR, jnp.where(changed, 1, 0)),
                    uvalid=jnp.where(changed,
                                     jnp.zeros_like(s.uvalid), s.uvalid))
@@ -556,6 +615,13 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
         (1 << int(np.ceil(np.log2(max(512, per_node)))))
     V = min(V, 2 * M)
     k_merge = int(_os.environ.get("VFT_SPR_KMERGE", "1"))
+    # 4-lane vmapped chains measured SLOWER than the sequential order on the
+    # live chip (17.5 vs 11.2 s/round at N=2000): vmapping the chain
+    # while_loop gives every iteration a full-carry lane-mask select over
+    # the [4, V, P*C] override copies, which outweighs the 4x depth saving.
+    # Kept as an env opt-in (it is also the batched quality tier, not
+    # bit-serial); default off.
+    lanes4 = _os.environ.get("VFT_SPR_LANES4") == "1"
     P = prof.W.shape[1]
     C = prof.U.shape[2]
 
@@ -596,7 +662,7 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
             pseudo=float(opts.pseudo_weight),
             max_spr_len=int(opts.max_spr_length),
             n_cons=int(nj.n_cons), con_weight=float(opts.constraint_weight),
-            up=up, do_merge=(idx % k_merge == 0))
+            up=up, do_merge=(idx % k_merge == 0), lanes4=lanes4)
 
     codes_m, W_m, U_m = _spr_flush(
         codes_m, W_m, U_m, s.ov_ids, s.ov_c, s.ov_w, s.ov_u, s.ov_n,
