@@ -30,7 +30,7 @@ import numpy as np
 
 from ..constants import NOCODE
 from ..ops import kernels
-from .profiles import _pad_pow2
+from .profiles import _dual_jit, _pad_pow2, _pick
 
 N_SCRATCH = 8
 # scratch row names used by the quartet optimizer
@@ -74,9 +74,7 @@ def _pair_loglk_rows(codes, W, V, r1s, r2s, lengths, rates, ratecat, eigenval,
     return f(r1s, r2s, lengths)
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
-                   donate_argnums=(0, 1, 2))
-def _posterior_into(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
+def _posterior_into_impl(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
                     eigenval, code_freq, statinv, eigeninv, min_rel_len,
                     min_len, jc, tol, use_approx, near_p, near_freq,
                     rough_acc, exact_acc):
@@ -109,6 +107,10 @@ def _posterior_into(codes, W, V, target, r1, r2, len1, len2, rates, ratecat,
     return codes, W, V, rough_acc, exact_acc
 
 
+_posterior_into = _dual_jit(_posterior_into_impl,
+                            ("jc", "tol", "use_approx"), (0, 1, 2))
+
+
 def _approx_tuple(use_approx, near_p, near_freq):
     """Static gate for the -approxml rough-posterior path (ref tcc:2390-2421)."""
     if not use_approx:
@@ -118,9 +120,7 @@ def _approx_tuple(use_approx, near_p, near_freq):
             constants.APPROX_ML_MIN_RATIO)
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
-                   donate_argnums=(0, 1, 2))
-def _posterior_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, tbl_l1, tbl_l2, rates,
+def _posterior_sweep_impl(codes, W, V, tbl_t, tbl_1, tbl_2, tbl_l1, tbl_l2, rates,
                      ratecat, eigenval, code_freq, statinv, eigeninv,
                      min_rel_len, min_len, jc, tol, use_approx, near_p,
                      near_freq, rough_acc, exact_acc):
@@ -176,9 +176,11 @@ def _posterior_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, tbl_l1, tbl_l2, rates,
                              (codes, W, V, rough_acc, exact_acc))
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol", "use_approx"),
-                   donate_argnums=(0, 1, 2))
-def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, valid, rates,
+_posterior_sweep = _dual_jit(_posterior_sweep_impl,
+                             ("jc", "tol", "use_approx"), (0, 1, 2))
+
+
+def _posterior_rows_impl(codes, W, V, targets, r1s, r2s, len1s, len2s, valid, rates,
                     ratecat, eigenval, code_freq, statinv, eigeninv, min_rel_len,
                     min_len, jc, tol, use_approx, near_p, near_freq,
                     rough_acc, exact_acc):
@@ -214,6 +216,10 @@ def _posterior_rows(codes, W, V, targets, r1s, r2s, len1s, len2s, valid, rates,
     V = V.at[targets].set(v_outs)
     return (codes, W, V, rough_acc + (n_roughs * valid).sum(),
             exact_acc + (n_exacts * valid).sum())
+
+
+_posterior_rows = _dual_jit(_posterior_rows_impl,
+                            ("jc", "tol", "use_approx"), (0, 1, 2))
 
 
 class MLProfiles:
@@ -333,6 +339,9 @@ class MLProfiles:
 
     def up_row(self, node: int) -> int:
         return self.maxnodes + node
+
+    def store_bytes(self) -> int:
+        return self.V.size * self.V.dtype.itemsize
 
     def scratch_row(self, k: int) -> int:
         return 2 * self.maxnodes + k
@@ -478,7 +487,7 @@ class MLProfiles:
     def posterior_into(self, target: int, r1: int, r2: int, len1: float,
                        len2: float) -> None:
         self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
-            _posterior_into(
+            _pick(_posterior_into, self.store_bytes())(
                 self.codes, self.W, self.V, target, r1, r2, self.dtype(len1),
                 self.dtype(len2), self.rates, self.ratecat, self.eigenval,
                 self.code_freq, self.statinv, self.eigeninv, self.min_rel_len,
@@ -496,7 +505,7 @@ class MLProfiles:
         valid = np.zeros(len(tp), dtype=np.float32)
         valid[:n] = 1.0
         self.codes, self.W, self.V, self._rough_acc, self._exact_acc = \
-            _posterior_rows(
+            _pick(_posterior_rows, self.store_bytes())(
                 self.codes, self.W, self.V, jnp.asarray(tp), jnp.asarray(r1p),
                 jnp.asarray(r2p), l1p, l2p,
                 jnp.asarray(valid), self.rates, self.ratecat, self.eigenval,
@@ -528,7 +537,8 @@ class MLProfiles:
             jjs = np.array([int(tree.children[nd, 1]) for nd in nodes])
             levels.append((nodes, iis, jjs))
         for t, i, j in _level_runs(levels) if levels else []:
-            self.codes, self.W, self.V = _ml_avg_sweep(
+            self.codes, self.W, self.V = _pick(
+                _ml_avg_sweep, self.store_bytes())(
                 self.codes, self.W, self.V, jnp.asarray(t), jnp.asarray(i),
                 jnp.asarray(j), self.code_freq, self.eigentot, self.gap_vec,
                 self.jc, self.tol)
@@ -541,7 +551,7 @@ class MLProfiles:
         opts = self.options
         for t, r1, r2, l1, l2 in _level_runs(levels, n_float=2):
             (self.codes, self.W, self.V, self._rough_acc,
-             self._exact_acc) = _posterior_sweep(
+             self._exact_acc) = _pick(_posterior_sweep, self.store_bytes())(
                 self.codes, self.W, self.V, jnp.asarray(t), jnp.asarray(r1),
                 jnp.asarray(r2), jnp.asarray(l1, dtype=self.dtype),
                 jnp.asarray(l2, dtype=self.dtype), self.rates, self.ratecat,
@@ -569,8 +579,7 @@ class MLProfiles:
             self.posterior_sweep(levels)
 
 
-@functools.partial(jax.jit, static_argnames=("jc", "tol"), donate_argnums=(0, 1, 2))
-def _ml_avg_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, code_freq, eigentot,
+def _ml_avg_sweep_impl(codes, W, V, tbl_t, tbl_1, tbl_2, code_freq, eigentot,
                   gap_vec, jc, tol):
     """A RUN of tree levels' ML-space balanced averages in ONE donated
     dispatch (tables [L, K], -1 target pads drop; see _posterior_sweep for
@@ -599,6 +608,9 @@ def _ml_avg_sweep(codes, W, V, tbl_t, tbl_1, tbl_2, code_freq, eigentot,
         return codes, W, V
 
     return jax.lax.fori_loop(0, tbl_t.shape[0], body, (codes, W, V))
+
+
+_ml_avg_sweep = _dual_jit(_ml_avg_sweep_impl, ("jc", "tol"), (0, 1, 2))
 
 
 # ---------------------------------------------------------------------------

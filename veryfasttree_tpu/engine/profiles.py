@@ -77,6 +77,25 @@ def _accum_dtype():
     return None
 
 
+# Donation forces the Python pjit path (~4.2 ms extra host overhead per
+# call vs the C++ fast path); an out-of-place device copy of a small store
+# costs ~0.1 ms.  Store-mutating jits therefore compile BOTH variants and
+# the callers pick by store size: donate only when transiently doubling the
+# store in HBM would matter.
+DONATE_MIN_BYTES = 256 * 2**20
+
+
+def _dual_jit(fn, statics, donate):
+    """(donated, undonated) compilations of `fn`."""
+    return (functools.partial(jax.jit, static_argnames=statics,
+                              donate_argnums=donate)(fn),
+            functools.partial(jax.jit, static_argnames=statics)(fn))
+
+
+def _pick(pair, nbytes):
+    return pair[0] if nbytes > DONATE_MIN_BYTES else pair[1]
+
+
 def _rows_cwu(codes, W, U, rows, code_freq, n_seqs, two_tier):
     """Gather (codes, W, U) tiles for arbitrary row indices.
 
@@ -326,11 +345,8 @@ def _outprofile_update(w_out, f_out, codes, W, U, i, j, newnode, n_active_old,
         n_active_old, code_freq, eigentot if use_matrix else None, tol)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
-                   donate_argnums=(0, 1, 2))
-def _avg_sweep(codes, W, U, tbl_t, tbl_i, tbl_j, n_seqs, code_freq,
-               eigentot, use_matrix, two_tier, tol):
+def _avg_sweep_impl(codes, W, U, tbl_t, tbl_i, tbl_j, n_seqs, code_freq,
+                    eigentot, use_matrix, two_tier, tol):
     """A RUN of tree levels' balanced averages in ONE donated dispatch.
 
     tbl_* are [L, K] index tables (level-major, -1 padding); level k+1 reads
@@ -360,6 +376,10 @@ def _avg_sweep(codes, W, U, tbl_t, tbl_i, tbl_j, n_seqs, code_freq,
         return codes, W, U
 
     return jax.lax.fori_loop(0, tbl_t.shape[0], body, (codes, W, U))
+
+
+_avg_sweep = _dual_jit(_avg_sweep_impl,
+                       ("n_seqs", "use_matrix", "two_tier", "tol"), (0, 1, 2))
 
 
 def _level_runs(levels, n_float=0):
@@ -399,11 +419,8 @@ def _level_runs(levels, n_float=0):
     return out
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_seqs", "use_matrix", "two_tier", "tol"),
-                   donate_argnums=(0, 1, 2))
-def _avg_scatter_rows(codes, W, U, targets, iis, jjs, bws, n_seqs, code_freq,
-                      eigentot, use_matrix, two_tier, tol):
+def _avg_scatter_rows_impl(codes, W, U, targets, iis, jjs, bws, n_seqs,
+                           code_freq, eigentot, use_matrix, two_tier, tol):
     """Fused gather -> averageProfile -> scatter on the donated store.
 
     One jitted dispatch per pow2 bucket shape.  The unfused
@@ -426,6 +443,11 @@ def _avg_scatter_rows(codes, W, U, targets, iis, jjs, bws, n_seqs, code_freq,
     W = W.at[ptgt].set(w, mode="drop")
     U = U.at[ptgt].set(u, mode="drop")
     return codes, W, U
+
+
+_avg_scatter_rows = _dual_jit(
+    _avg_scatter_rows_impl,
+    ("n_seqs", "use_matrix", "two_tier", "tol"), (0, 1, 2))
 
 
 def hbm_plan(n_seqs: int, n_pos: int, n_codes: int = 4,
@@ -709,12 +731,16 @@ class MEProfiles:
             self.dtype(bw), self.n_seqs, self.code_freq, self.eigenval,
             self.eigentot, self.use_matrix, self.two_tier, self.tol)
 
+    def store_bytes(self) -> int:
+        return self.U.size * self.U.dtype.itemsize
+
     def average_sweep(self, levels) -> None:
         """Balanced-average level sweep: `levels` is a dependency-ordered
-        list of (targets, iis, jjs); one donated dispatch per bucket run
+        list of (targets, iis, jjs); one dispatch per bucket run
         (see _avg_sweep / _level_runs)."""
+        fn = _pick(_avg_sweep, self.store_bytes())
         for t, i, j in _level_runs(levels):
-            self.codes, self.W, self.U = _avg_sweep(
+            self.codes, self.W, self.U = fn(
                 self.codes, self.W, self.U, jnp.asarray(t), jnp.asarray(i),
                 jnp.asarray(j), self.n_seqs, self.code_freq, self.eigentot,
                 self.use_matrix, self.two_tier, self.tol)
@@ -729,7 +755,8 @@ class MEProfiles:
         jpad, _ = _pad_pow2(np.asarray(jjs, dtype=np.int64))
         bpad = np.full(len(tpad), 0.5, dtype=self.dtype)
         bpad[:n] = np.asarray(bws, dtype=self.dtype)
-        self.codes, self.W, self.U = _avg_scatter_rows(
+        self.codes, self.W, self.U = _pick(
+            _avg_scatter_rows, self.store_bytes())(
             self.codes, self.W, self.U, jnp.asarray(tpad), jnp.asarray(ipad),
             jnp.asarray(jpad), jnp.asarray(bpad), self.n_seqs,
             self.code_freq, self.eigentot, self.use_matrix, self.two_tier,

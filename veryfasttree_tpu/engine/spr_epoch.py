@@ -89,13 +89,12 @@ def _merge_ov(codes_m, W_m, U_m, ov_ids, ov_c, ov_w, ov_u, ov_n,
     return codes_m, W_m, U_m
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_seqs", "maxnodes", "use_matrix", "two_tier", "tol",
-                     "bionj", "logdist", "jc", "pseudo", "max_spr_len",
-                     "n_cons", "con_weight", "up", "do_merge", "lanes4"),
-    donate_argnums=(0, 1, 2, 3))
-def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
+_SPR_STATICS = ("n_seqs", "maxnodes", "use_matrix", "two_tier", "tol",
+                "bionj", "logdist", "jc", "pseudo", "max_spr_len",
+                "n_cons", "con_weight", "up", "do_merge", "lanes4")
+
+
+def _spr_node_impl(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
               code_freq, eigenval, eigentot,
               n_seqs, maxnodes, use_matrix, two_tier, tol, bionj, logdist,
               jc, pseudo, max_spr_len, n_cons, con_weight, up=None,
@@ -562,6 +561,18 @@ def _spr_node(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
     return s, codes_m, W_m, U_m
 
 
+# Donated and undonated compilations of the per-node dispatch.  Donation
+# forces the Python pjit path (~4.2 ms/call extra host overhead); below
+# ~256 MB of store the out-of-place device copies are far cheaper, so the
+# host wrapper picks the variant by store size (donation stays for big
+# stores where doubling HBM transiently would break the fit).
+_spr_node_don = functools.partial(
+    jax.jit, static_argnames=_SPR_STATICS,
+    donate_argnums=(0, 1, 2, 3))(_spr_node_impl)
+_spr_node_nodon = functools.partial(
+    jax.jit, static_argnames=_SPR_STATICS)(_spr_node_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("n_seqs", "two_tier"),
                    donate_argnums=(0, 1, 2))
 def _spr_flush(codes_m, W_m, U_m, ov_ids, ov_c, ov_w, ov_u, ov_n,
@@ -649,6 +660,8 @@ def run_spr_epoch(nj, i_round: int, n_rounds: int) -> None:
     root_dev = jnp.int32(tree.root)
     jc = bool(opts.n_codes == 4 and not opts.use_matrix)
 
+    store_bytes = prof.U.size * prof.U.dtype.itemsize
+    _spr_node = _spr_node_don if store_bytes > 256 * 2**20 else _spr_node_nodon
     for idx, node in enumerate(node_list):
         if nj.progress is not None and idx % 100 == 0 and idx > 0:
             nj.progress.print("SPR round %3d of %3d, %d of %d nodes",
