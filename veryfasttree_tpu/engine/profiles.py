@@ -396,7 +396,10 @@ def _level_runs(levels, n_float=0):
     cur_k = None
     for lv in levels:
         n = len(lv[0])
-        k = max(8, 1 << (n - 1).bit_length())
+        # floor of 64: the (many) narrow top-of-tree levels merge into one
+        # run -- a few x of padding waste on trivially small levels buys a
+        # run count of ~log2(max width) - 5 dispatches per sweep
+        k = max(64, 1 << (n - 1).bit_length())
         if cur_k is None or k == cur_k:
             cur.append(lv)
             cur_k = k
