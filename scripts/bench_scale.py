@@ -149,7 +149,8 @@ def main():
     np.asarray(jnp.zeros(8) + 1)
     print(f"warm_d2h={time.perf_counter()-t0:.1f}s", flush=True)
 
-    sizes = [int(x) for x in sys.argv[1:]] or [5000, 20000, 100000]
+    sizes = [int(x) for x in sys.argv[1:] if not x.startswith('--')] \
+        or [5000, 20000, 100000]
     for n in sizes:
         run_one(n)
 
