@@ -71,11 +71,15 @@ def run_one(n, p=500):
         "two_tier": bool(nj.prof.two_tier),
         **mem,
     }
+    print(json.dumps(out), flush=True)
     if "--oracle" in sys.argv:
-        # tier-2 quality gate vs the reference on the same input: the
-        # reference's own NJ tree length (its -noml run also includes
-        # NNIs/SPRs, so compare against ITS NJ log length is not available;
-        # instead run both pipelines' full -noml and compare tree lengths)
+        # tier-2 quality gate vs the reference on the same input: run both
+        # pipelines' full -noml on the same FASTA and compare tree lengths.
+        # Free the battery's store first (two live 20k stores + gather
+        # transients exhaust HBM).
+        import gc
+        del nj
+        gc.collect()
         out["oracle"] = run_oracle_noml(codes, n, p)
         if out["oracle"]:
             full = run_full_noml(codes)
@@ -84,7 +88,11 @@ def run_one(n, p=500):
             ref_len = out["oracle"]["tree_length"]
             out["tree_length_vs_oracle_rel"] = round(
                 abs(full["tree_length"] - ref_len) / ref_len, 5)
-    print(json.dumps(out), flush=True)
+            print(json.dumps({k: v for k, v in out.items()
+                              if k in ("N", "oracle", "full_noml_wall_s",
+                                       "full_noml_tree_length",
+                                       "tree_length_vs_oracle_rel")}),
+                  flush=True)
     return out
 
 
