@@ -385,8 +385,43 @@ def _spr_node_impl(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
         ids = jnp.stack([node.astype(jnp.int32), a, b, nb0, nb1, uncle])
         tgt = jnp.where(active & (ids >= 0), clipM(ids), M)
         s = s._replace(uvalid=s.uvalid.at[tgt].set(False, mode="drop"))
-        s = recompute_profile(s, node, active)
-        s = recompute_profile(s, par, active)
+        if bionj:
+            s = recompute_profile(s, node, active)
+            s = recompute_profile(s, par, active)
+            return s
+        # bionj off (default): fuse the two 0.5-averages -- one 3-row read
+        # (a, b, node's sibling), the parent average chained directly on the
+        # fresh node average (no override read-back).  average_profile with
+        # bw=0.5 is argument-order-commutative bitwise (0.5*w1 + 0.5*w2 and
+        # the code-keep rules are symmetric), so the result is identical to
+        # the host's (child0, child1)-ordered calls.
+        act_node = active & (node >= n_seqs) & (node != root)
+        act_par = active & (par >= n_seqs) & (par != root) & (par >= 0)
+        c3, w3, u3 = read_cwu(s, jnp.stack([a, b, nb1]))
+        half = jnp.asarray(0.5, store_dt)
+        cN, wN, uN, _ = kernels.average_profile(
+            c3[0], w3[0], u3[0], c3[1], w3[1], u3[1], half, code_freq, et, tol)
+        cP, wP, uP, _ = kernels.average_profile(
+            cN, wN, uN, c3[2], w3[2], u3[2], half, code_freq, et, tol)
+        s = write_row(s, clipM(node), cN, wN, uN.reshape(-1), act_node)
+        s = write_row(s, clipM(par), cP, wP, uP.reshape(-1), act_par)
+        s = s._replace(ctr=_ctr_add(s.ctr, K_AVG,
+                                    jnp.where(act_node, 1, 0)
+                                    + jnp.where(act_par, 1, 0)))
+        if n_cons:
+            tn = jnp.where(act_node, clipM(node), M)
+            s = s._replace(
+                con_on=s.con_on.at[tn].set(
+                    s.con_on[clipM(a)] + s.con_on[clipM(b)], mode="drop"),
+                con_off=s.con_off.at[tn].set(
+                    s.con_off[clipM(a)] + s.con_off[clipM(b)], mode="drop"))
+            tp2 = jnp.where(act_par, clipM(par), M)
+            s = s._replace(
+                con_on=s.con_on.at[tp2].set(
+                    s.con_on[clipM(node)] + s.con_on[clipM(nb1)], mode="drop"),
+                con_off=s.con_off.at[tp2].set(
+                    s.con_off[clipM(node)] + s.con_off[clipM(nb1)],
+                    mode="drop"))
         return s
 
     # ------------------------------------------------------------- chains
