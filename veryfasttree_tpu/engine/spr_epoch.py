@@ -217,12 +217,11 @@ def _spr_node_impl(s: SprEpochState, codes_m, W_m, U_m, node_move, root,
 
     def corrected6(s, r4):
         """corrected_pair_distances over the 6 pairs of 4 rows
-        (rearrange.corrected_pair_distances, ref tcc:1460-1488)."""
-        ii = r4[P6_I]
-        jj = r4[P6_J]
-        _, w1, u1 = read_cwu(s, ii)
-        _, w2, u2 = read_cwu(s, jj)
-        d, wt = kernels.me_dist_rows(f(u1), f(w1), f(u2), f(w2), ev_cd)
+        (rearrange.corrected_pair_distances, ref tcc:1460-1488).  One 4-row
+        store read; the 6 pair operands index the small tile."""
+        _, w4, u4 = read_cwu(s, r4)
+        d, wt = kernels.me_dist_rows(f(u4[P6_I]), f(w4[P6_I]),
+                                     f(u4[P6_J]), f(w4[P6_J]), ev_cd)
         wt = jnp.where(wt > 0, wt, 0.01)
         if pseudo > 0:
             # explicit sequential sums to match numpy's small-n order
