@@ -188,6 +188,33 @@ def _map_chunks(body, arrays, K):
     return tuple(o.reshape(-1)[:K] for o in out)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("n_seqs", "use_matrix", "two_tier", "k",
+                                    "up"))
+def _leaf_topk(codes, W, U, rows, od, n_seqs, eigenval, code_freq,
+               use_matrix, two_tier, k, up=None):
+    """Wave seed scan with ON-DEVICE top-k by NJ criterion.
+
+    The init host logic only ever reads the best 2m+2 candidates per seed
+    (list save, close-neighbor tests, transfers all index sj[:2m]), but the
+    full [K, n_seqs] fetch was ~50 MB/wave over the ~30 MB/s tunnel at
+    N=100k.  Returns packed [K, 3k]: (idx, dist, weight) ascending by
+    criterion, ties to the lowest index like the host's stable argsort.
+    Valid only while every leaf out-distance is fresh at n_active == n_seqs
+    and there are no constraints (the caller checks)."""
+    packed = _dist_many_vs_leaves(codes, W, U, rows, n_seqs, eigenval,
+                                  code_freq, use_matrix, two_tier, up)
+    K = rows.shape[0]
+    dist = packed[:K]
+    denom = packed[K:]
+    odc = od.astype(dist.dtype)
+    crit = dist - (odc[rows][:, None] + odc[None, :]) / (n_seqs - 2)
+    negc, idx = jax.lax.top_k(-crit, k)
+    dist_k = jnp.take_along_axis(dist, idx, 1)
+    w_k = jnp.take_along_axis(denom, idx, 1)
+    return jnp.concatenate([idx.astype(dist.dtype), dist_k, w_k], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_seqs", "use_matrix", "two_tier", "up"))
 def _dist_gather(codes, W, U, js, uq, wq, n_seqs, eigenval, code_freq,
                  use_matrix, two_tier, up=None):
@@ -654,6 +681,19 @@ class MEProfiles:
             _accum_dtype()), np.float64)
         K = len(rpad)
         return out[:n], out[K: K + n]
+
+    def dist_leaves_topk(self, rows: np.ndarray, od: np.ndarray, k: int):
+        """Wave seed scan, top-k by criterion on device (see _leaf_topk).
+        Returns (idx [K,k] int64, dist [K,k], weight [K,k]) ascending."""
+        rpad, n = _pad_pow2(np.asarray(rows, dtype=np.int64))
+        out = fetch_np(_leaf_topk(
+            self.codes, self.W, self.U, jnp.asarray(rpad),
+            jnp.asarray(od, dtype=np.float64 if _accum_dtype() is not None
+                        else self.dtype),
+            self.n_seqs, self.eigenval, self.code_freq, self.use_matrix,
+            self.two_tier, k, _accum_dtype()), np.float64)
+        return (out[:n, :k].astype(np.int64), out[:n, k: 2 * k],
+                out[:n, 2 * k:])
 
     def dist_one_vs_set(self, i: int, js: np.ndarray):
         uq, wq = self.row_query(i)

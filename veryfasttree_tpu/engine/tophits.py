@@ -143,6 +143,15 @@ class TopHits:
         # as a close neighbor gets its scan discarded -- exactly the serial
         # outcome (the discarded scan was never observable).  K adapts to the
         # discard rate so clustered data does not waste scan bandwidth.
+        # device top-k fast path: the init host logic only reads the best
+        # 2m+2 candidates per seed, so fetch just those (the full [K, N]
+        # row fetch was ~50 MB/wave at N=100k over the ~30 MB/s tunnel).
+        # Valid while all leaf out-distances are fresh at n_active == n_seqs
+        # and unconstrained (best_hit_arrays reduces to the plain criterion).
+        k_top = 2 * m + 2
+        use_topk = (nj.n_cons == 0 and k_top < n_seqs
+                    and (nj.n_out_dist_active[:n_seqs] == n_seqs).all())
+
         seed_pos = 0
         wave_k = 8
         while seed_pos < len(seeds):
@@ -154,7 +163,11 @@ class TopHits:
                     wave.append(s)
             if not wave:
                 break
-            dist_w, weight_w = nj.prof.dist_many_vs_leaves(np.array(wave))
+            if use_topk:
+                idx_w, dist_w, weight_w = nj.prof.dist_leaves_topk(
+                    np.array(wave), nj.out_distances[:n_seqs], k_top)
+            else:
+                dist_w, weight_w = nj.prof.dist_many_vs_leaves(np.array(wave))
             n_disc = 0
             transfers = []   # (node, cand) close-neighbor list fills
             for k, seed in enumerate(wave):
@@ -162,9 +175,10 @@ class TopHits:
                     n_disc += 1
                     continue
                 visited[seed] = True
+                topk = (idx_w[k], dist_w[k], weight_w[k]) if use_topk else None
                 self._process_seed(nj, seed, dist_w[k], weight_w[k], n_seqs,
                                    m, q, close, n_gaps, visited,
-                                   transfers=transfers)
+                                   transfers=transfers, topk=topk)
             # Close-neighbor transfers batch across the WHOLE wave: the
             # accept decisions depend only on each seed's own scan plus the
             # `visited` claims (updated serially above), never on transfer
@@ -200,20 +214,28 @@ class TopHits:
 
     def _process_seed(self, nj, seed: int, dist_row, weight_row, n_seqs: int,
                       m: int, q: int, close: float, n_gaps, visited,
-                      transfers=None) -> None:
+                      transfers=None, topk=None) -> None:
         """Per-seed body of setAllLeafTopHits (ref :3860-4014): save the
         seed's list, then close-neighbor inheritance.  Without 2nd-level
         lists the accepted neighbors' transfers are APPENDED to `transfers`
         (when given) for one wave-level gathered dispatch -- their accept
         decisions depend only on the seed's scan and `visited`, never on
-        transfer results; with transfers=None they dispatch per seed."""
+        transfer results; with transfers=None they dispatch per seed.
+        `topk`: pre-sorted (idx, dist, weight) of the best 2m+2 candidates
+        by criterion from the device top-k scan (everything below only
+        reads within that prefix)."""
         opts = self.options
-        dist, weight, crit = nj.best_hit_arrays(seed, dist_row, weight_row,
-                                                n_seqs)
-        order = np.argsort(crit, kind="stable")
-        sj = order
-        sdist = dist[order]
-        sweight = weight[order]
+        if topk is not None:
+            sj, sdist, sweight = topk
+            sweight = np.where(sweight > 0, sweight, 0.01)
+            nj.debug.profile_ops += n_seqs
+        else:
+            dist, weight, crit = nj.best_hit_arrays(seed, dist_row,
+                                                    weight_row, n_seqs)
+            order = np.argsort(crit, kind="stable")
+            sj = order
+            sdist = dist[order]
+            sweight = weight[order]
         self._sort_save(nj, seed, sj, sdist, None, m, presorted=True)
 
         # close-neighbor inheritance (ref :3933-4014)
